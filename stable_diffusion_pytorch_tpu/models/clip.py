@@ -1,0 +1,322 @@
+"""CLIP text encoder in Flax + tokenizer, with offline-first weight handling.
+
+The reference wraps the *pretrained* HF ``CLIPTextModel``/``CLIPTokenizer`` from
+``runwayml/stable-diffusion-v1-5`` (/root/reference/stable_diffusion/models/clip_model.py:56-96)
+and downloads them at build time. This environment has no network egress, so:
+
+- the transformer itself is re-implemented here in Flax (ViT-L/14 text tower:
+  vocab 49408, width 768, 12 layers, 12 heads, quick-GELU, causal pre-norm blocks
+  — the architecture the HF checkpoint expects);
+- ``load_clip_params`` converts a locally cached HF PyTorch/safetensors checkpoint
+  into our parameter tree when one exists under ``cfg.model_dir``;
+- otherwise parameters are deterministically random-initialized (seed 0) so the
+  full pipeline runs end-to-end offline;
+- the tokenizer uses HF ``CLIPTokenizer`` when its vocab files are cached locally,
+  else a deterministic hashing tokenizer with CLIP's special-token layout
+  (BOS 49406 / EOS 49407, pad=EOS, max_len 77 — clip_model.py:72-85).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import re
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Union
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from stable_diffusion_pytorch_tpu.config import BaseConfig
+from stable_diffusion_pytorch_tpu.ops.attention import multi_head_attention
+
+BOS_TOKEN_ID = 49406
+EOS_TOKEN_ID = 49407
+VOCAB_SIZE = 49408
+
+
+@dataclass
+class ClipConfig(BaseConfig):
+    """Flag surface mirrors /root/reference/stable_diffusion/models/clip_model.py:10-26."""
+
+    tokenizer: str = field(
+        default="runwayml/stable-diffusion-v1-5",
+        metadata={"help": "Tokenizer to use for text encoding."},
+    )
+    text_encoder: str = field(
+        default="runwayml/stable-diffusion-v1-5",
+        metadata={"help": "Text encoder model to use."},
+    )
+    max_seq_len: int = field(
+        default=77, metadata={"help": "Maximum sequence length for tokenized text."}
+    )
+    model_dir: Optional[str] = field(
+        default="data/pretrained",
+        metadata={"help": "Path to a directory to store the pretrained CLIP model."},
+    )
+
+
+def quick_gelu(x: jnp.ndarray) -> jnp.ndarray:
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
+class CLIPEncoderLayer(nn.Module):
+    """Pre-norm transformer block (HF CLIPEncoderLayer semantics)."""
+
+    d_model: int
+    n_heads: int
+    intermediate: int
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray, causal_mask: jnp.ndarray) -> jnp.ndarray:
+        d_head = self.d_model // self.n_heads
+        dense = lambda feats, name: nn.Dense(  # noqa: E731
+            feats, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+        ln = lambda name: nn.LayerNorm(  # noqa: E731
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32, name=name
+        )
+
+        residual = x
+        h = ln("layer_norm1")(x)
+        b, s, _ = h.shape
+        q = dense(self.d_model, "q_proj")(h).reshape(b, s, self.n_heads, d_head)
+        k = dense(self.d_model, "k_proj")(h).reshape(b, s, self.n_heads, d_head)
+        v = dense(self.d_model, "v_proj")(h).reshape(b, s, self.n_heads, d_head)
+        attn = multi_head_attention(
+            q, k, v, scale=d_head**-0.5, mask=causal_mask
+        ).reshape(b, s, self.d_model)
+        x = residual + dense(self.d_model, "out_proj")(attn)
+
+        residual = x
+        h = ln("layer_norm2")(x)
+        h = dense(self.intermediate, "fc1")(h)
+        h = quick_gelu(h)
+        x = residual + dense(self.d_model, "fc2")(h)
+        return x
+
+
+class CLIPTextTransformer(nn.Module):
+    """The SD-1.5 text tower: 12 pre-norm layers + final LayerNorm.
+
+    ``__call__(input_ids [B,S]) -> last_hidden_state [B,S,768]`` (the ``[0]``
+    output the reference consumes, clip_model.py:87-96).
+    """
+
+    vocab_size: int = VOCAB_SIZE
+    d_model: int = 768
+    n_layers: int = 12
+    n_heads: int = 12
+    intermediate: int = 3072
+    max_positions: int = 77
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        b, s = input_ids.shape
+        tok_emb = nn.Embed(
+            self.vocab_size,
+            self.d_model,
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+            name="token_embedding",
+        )(input_ids)
+        pos_emb = self.param(
+            "position_embedding",
+            nn.initializers.normal(0.01),
+            (self.max_positions, self.d_model),
+            jnp.float32,
+        )
+        x = tok_emb + pos_emb[None, :s].astype(self.dtype)
+
+        # causal mask broadcast over [B, H, S, S]: True = masked out
+        causal = jnp.triu(jnp.ones((s, s), dtype=bool), k=1)[None, None]
+        for i in range(self.n_layers):
+            x = CLIPEncoderLayer(
+                self.d_model,
+                self.n_heads,
+                self.intermediate,
+                dtype=self.dtype,
+                name=f"layer_{i}",
+            )(x, causal)
+        return nn.LayerNorm(
+            epsilon=1e-5, dtype=self.dtype, param_dtype=jnp.float32,
+            name="final_layer_norm",
+        )(x)
+
+
+class HashTokenizer:
+    """Deterministic offline tokenizer with CLIP's special-token layout.
+
+    Not BPE — a stable word-hash into the CLIP vocab range. Only used when the
+    real CLIPTokenizer vocab files are not cached locally; it keeps the entire
+    pipeline runnable (and reproducible) with zero network egress.
+    """
+
+    model_max_length = 77
+
+    def __init__(self, max_seq_len: int = 77):
+        self.max_seq_len = max_seq_len
+
+    def _word_id(self, word: str) -> int:
+        digest = hashlib.sha256(word.encode("utf-8")).digest()
+        # map into [0, BOS) so special ids are never collided with
+        return int.from_bytes(digest[:4], "little") % BOS_TOKEN_ID
+
+    def __call__(
+        self,
+        prompts: Union[str, Sequence[str]],
+        max_length: Optional[int] = None,
+        padding: str = "max_length",
+        truncation: bool = True,
+        **_: object,
+    ) -> "TokenizerOutput":
+        if isinstance(prompts, str):
+            prompts = [prompts]
+        max_len = max_length or self.max_seq_len
+        rows = []
+        for prompt in prompts:
+            words = re.findall(r"\w+|[^\w\s]", prompt.lower())
+            ids = [BOS_TOKEN_ID] + [self._word_id(w) for w in words]
+            if truncation:
+                ids = ids[: max_len - 1]
+            ids.append(EOS_TOKEN_ID)
+            if padding == "max_length":
+                ids += [EOS_TOKEN_ID] * (max_len - len(ids))
+            rows.append(ids)
+        return TokenizerOutput(np.asarray(rows, dtype=np.int32))
+
+
+class TokenizerOutput:
+    def __init__(self, input_ids: np.ndarray):
+        self.input_ids = input_ids
+
+
+def _load_hf_tokenizer(name: str, cache_dir: Optional[str]):
+    try:
+        from transformers import CLIPTokenizer
+
+        return CLIPTokenizer.from_pretrained(
+            name,
+            subfolder="tokenizer",
+            cache_dir=cache_dir,
+            use_fast=False,
+            local_files_only=True,
+        )
+    except Exception:
+        return None
+
+
+def load_clip_params(model_dir: str) -> Optional[dict]:
+    """Convert a locally cached HF CLIPTextModel checkpoint to our param tree.
+
+    Looks for ``{model_dir}/text_encoder/model.safetensors`` (or ``.bin``).
+    Returns None when absent (offline random-init path).
+    """
+    te_dir = os.path.join(model_dir, "text_encoder")
+    state = None
+    st_path = os.path.join(te_dir, "model.safetensors")
+    bin_path = os.path.join(te_dir, "pytorch_model.bin")
+    if os.path.exists(st_path):
+        from safetensors.numpy import load_file
+
+        state = load_file(st_path)
+    elif os.path.exists(bin_path):
+        import torch
+
+        state = {
+            k: v.numpy()
+            for k, v in torch.load(bin_path, map_location="cpu").items()
+        }
+    if state is None:
+        return None
+
+    prefix = "text_model."
+    p: dict = {}
+
+    def dense(w_key: str, b_key: Optional[str] = None) -> dict:
+        out = {"kernel": np.asarray(state[w_key]).T}
+        if b_key is not None and b_key in state:
+            out["bias"] = np.asarray(state[b_key])
+        return out
+
+    p["token_embedding"] = {
+        "embedding": np.asarray(state[prefix + "embeddings.token_embedding.weight"])
+    }
+    p["position_embedding"] = np.asarray(
+        state[prefix + "embeddings.position_embedding.weight"]
+    )
+    layer_idx = 0
+    while f"{prefix}encoder.layers.{layer_idx}.self_attn.q_proj.weight" in state:
+        lp = f"{prefix}encoder.layers.{layer_idx}."
+        p[f"layer_{layer_idx}"] = {
+            "q_proj": dense(lp + "self_attn.q_proj.weight", lp + "self_attn.q_proj.bias"),
+            "k_proj": dense(lp + "self_attn.k_proj.weight", lp + "self_attn.k_proj.bias"),
+            "v_proj": dense(lp + "self_attn.v_proj.weight", lp + "self_attn.v_proj.bias"),
+            "out_proj": dense(lp + "self_attn.out_proj.weight", lp + "self_attn.out_proj.bias"),
+            "fc1": dense(lp + "mlp.fc1.weight", lp + "mlp.fc1.bias"),
+            "fc2": dense(lp + "mlp.fc2.weight", lp + "mlp.fc2.bias"),
+            "layer_norm1": {
+                "scale": np.asarray(state[lp + "layer_norm1.weight"]),
+                "bias": np.asarray(state[lp + "layer_norm1.bias"]),
+            },
+            "layer_norm2": {
+                "scale": np.asarray(state[lp + "layer_norm2.weight"]),
+                "bias": np.asarray(state[lp + "layer_norm2.bias"]),
+            },
+        }
+        layer_idx += 1
+    p["final_layer_norm"] = {
+        "scale": np.asarray(state[prefix + "final_layer_norm.weight"]),
+        "bias": np.asarray(state[prefix + "final_layer_norm.bias"]),
+    }
+    return {"params": p}
+
+
+class CLIPModel:
+    """Tokenizer + frozen Flax text encoder facade (clip_model.py:29-96).
+
+    Not an nn.Module: it owns frozen params and exposes ``tokenize`` /
+    ``encode_text`` with the reference's call surface.
+    """
+
+    def __init__(self, cfg: ClipConfig, dtype: jnp.dtype = jnp.float32):
+        self.cfg = cfg
+        self.max_seq_len = cfg.max_seq_len
+        self.module = CLIPTextTransformer(max_positions=cfg.max_seq_len, dtype=dtype)
+        self.tokenizer = (
+            _load_hf_tokenizer(cfg.tokenizer, cfg.model_dir)
+            or HashTokenizer(cfg.max_seq_len)
+        )
+        params = load_clip_params(cfg.model_dir) if cfg.model_dir else None
+        if params is None:
+            dummy = jnp.zeros((1, cfg.max_seq_len), jnp.int32)
+            params = self.module.init(jax.random.PRNGKey(0), dummy)
+            self.pretrained = False
+        else:
+            self.pretrained = True
+        self.params = params
+        self._encode = jax.jit(self.module.apply)
+
+    def tokenize(
+        self,
+        prompt: Union[str, Sequence[str]] = "",
+        max_length: Optional[int] = None,
+        padding: str = "max_length",
+        truncation: bool = True,
+    ) -> TokenizerOutput:
+        """clip_model.py:72-85 (pad to max_seq_len, truncate)."""
+        out = self.tokenizer(
+            prompt,
+            max_length=max_length or self.max_seq_len,
+            padding=padding,
+            truncation=truncation,
+        )
+        return TokenizerOutput(np.asarray(out.input_ids, dtype=np.int32))
+
+    def encode_text(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+        """[B, S] token ids -> [B, S, 768] embeddings (clip_model.py:87-96)."""
+        return self._encode(self.params, jnp.asarray(input_ids))

@@ -1,0 +1,284 @@
+"""LatentDiffusion: UNet + VAE + CLIP + schedule, with a jit-compiled sampler.
+
+Counterpart of /root/reference/stable_diffusion/models/latent_diffusion.py:12-126.
+TPU-first re-design of the reverse loop:
+
+- the reference runs a Python loop calling the UNet per step and *re-encodes the
+  empty-prompt embedding every iteration* (latent_diffusion.py:55-60); here both
+  cond and uncond embeddings are encoded ONCE and the entire loop is a single
+  ``lax.scan`` inside one XLA program — per-step coefficients are gathered from
+  the schedule tables with traced indices;
+- classifier-free guidance doubles the batch inside the scan ([uncond, cond] on
+  axis 0, latent_diffusion.py:52-61) so the UNet runs one batched forward;
+- DDIM (deterministic, evenly-spaced timesteps) is the default sampler; DDPM
+  ancestral sampling and every reference quirk (ascending loop, swapped CFG
+  formula, uniform init noise, leading-timestep few-step schedule) are available
+  via CompatConfig for per-step numeric parity.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_diffusion_pytorch_tpu.models import schedule as sched_lib
+from stable_diffusion_pytorch_tpu.models.schedule import DiffusionSchedule
+
+
+def cfg_combine(
+    eps_uncond: jnp.ndarray,
+    eps_cond: jnp.ndarray,
+    guidance_scale: float,
+    reference_formula: bool = False,
+) -> jnp.ndarray:
+    """Classifier-free-guidance combine.
+
+    Standard: ``uncond + g * (cond - uncond)``. The reference swaps the chunk
+    names and anchors on the wrong term (latent_diffusion.py:62-65), net effect
+    ``uncond + g * (uncond - cond)`` — reproduced when ``reference_formula``.
+    """
+    if reference_formula:
+        return eps_uncond + guidance_scale * (eps_uncond - eps_cond)
+    return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
+
+
+def make_pred_noise_fn(
+    unet_module,
+    guidance_scale: float = 1.0,
+    reference_cfg_formula: bool = False,
+):
+    """Build the pure eps-prediction function used by trainers and the sampler.
+
+    Returns ``f(unet_params, x_t [B,h,w,c], t [B], context [B,S,D],
+    uncond [B,S,D] or None) -> eps [B,h,w,c]``. With guidance <= 1 a single
+    conditional forward is used (latent_diffusion.py:49-51); otherwise the batch
+    is doubled as [uncond, cond].
+    """
+    do_cfg = guidance_scale > 1.0
+
+    def pred_noise(unet_params, x_t, t, context_emb, uncond_emb=None):
+        if not do_cfg:
+            return unet_module.apply(unet_params, x_t, t, context_emb)
+        assert uncond_emb is not None, "CFG requires the uncond embedding"
+        x_in = jnp.concatenate([x_t, x_t], axis=0)
+        t_in = jnp.concatenate([t, t], axis=0)
+        c_in = jnp.concatenate([uncond_emb, context_emb], axis=0)
+        eps = unet_module.apply(unet_params, x_in, t_in, c_in)
+        eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
+        return cfg_combine(
+            eps_uncond, eps_cond, guidance_scale, reference_cfg_formula
+        )
+
+    return pred_noise
+
+
+def make_sample_fn(
+    unet_module,
+    schedule: DiffusionSchedule,
+    num_steps: int,
+    sampler: str = "ddim",
+    guidance_scale: float = 7.5,
+    eta: float = 0.0,
+    repeat_noise: bool = False,
+    scale_factor: float = 1.0,
+    reference_cfg_formula: bool = False,
+    ascending_loop: bool = False,
+    leading_timesteps: bool = False,
+):
+    """Build the jittable reverse-diffusion loop as a single ``lax.scan``.
+
+    Returns ``f(unet_params, x_T, context_emb, uncond_emb, key) -> x_0``.
+
+    Timesteps: DDIM/DDPM default to the evenly-spaced descending subsequence;
+    ``leading_timesteps`` reproduces the reference's few-step quirk (raw steps
+    S-1..0, latent_diffusion.py:103-107) and ``ascending_loop`` its reversed
+    iteration order (0..T-1 over the chosen subsequence).
+    """
+    if sampler not in ("ddim", "ddpm"):
+        raise ValueError(f"unknown sampler {sampler!r}")
+
+    if leading_timesteps or num_steps == schedule.noise_steps:
+        ts = sched_lib.leading_timesteps(min(num_steps, schedule.noise_steps))
+    else:
+        ts = sched_lib.spaced_timesteps(schedule.noise_steps, num_steps)
+    # prev step for DDIM: the next entry in the descending sequence, -1 at the end
+    ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, ts.dtype)])
+    if ascending_loop:
+        # reference quirk: iterate the schedule in ascending-t order
+        ts, ts_prev = ts[::-1], ts_prev[::-1]
+
+    pred_noise = make_pred_noise_fn(
+        unet_module, guidance_scale, reference_cfg_formula
+    )
+
+    def sample(unet_params, x_T, context_emb, uncond_emb, key):
+        bsz = x_T.shape[0]
+
+        def body(carry, step):
+            x, k = carry
+            t, t_prev = step
+            k, sub = jax.random.split(k)
+            t_batch = jnp.full((bsz,), t, jnp.int32)
+            eps = pred_noise(unet_params, x, t_batch, context_emb, uncond_emb)
+            if sampler == "ddim":
+                x_next, _ = sched_lib.ddim_step(
+                    schedule, eps, x, t, t_prev, key=sub, eta=eta
+                )
+            else:
+                x_next, _ = sched_lib.ddpm_step(
+                    schedule,
+                    eps,
+                    x,
+                    t,
+                    sub,
+                    repeat_noise=repeat_noise,
+                    scale_factor=scale_factor,
+                )
+            return (x_next, k), None
+
+        (x_0, _), _ = jax.lax.scan(body, (x_T, key), (ts, ts_prev))
+        return x_0
+
+    return sample
+
+
+class LatentDiffusion:
+    """Facade bundling modules + params with the reference's method surface
+    (latent_diffusion.py:12-126). Heavy lifting is done by the pure functions
+    above; this class manages params, jit caching and numpy boundaries."""
+
+    def __init__(
+        self,
+        unet_module,
+        unet_params,
+        autoencoder_module,
+        autoencoder_params,
+        text_encoder,
+        schedule: DiffusionSchedule,
+        compat=None,
+    ):
+        self.unet = unet_module
+        self.unet_params = unet_params
+        self.autoencoder = autoencoder_module
+        self.autoencoder_params = autoencoder_params
+        self.text_encoder = text_encoder
+        self.noise_scheduler = schedule
+        self.compat = compat
+        self._jit_cache: dict = {}
+
+    # ------------------------------------------------------------------ #
+    # embedding helpers
+    # ------------------------------------------------------------------ #
+
+    def encode_prompts(self, prompts) -> jnp.ndarray:
+        ids = self.text_encoder.tokenize(list(prompts)).input_ids
+        return self.text_encoder.encode_text(ids)
+
+    def encode_uncond(self, batch_size: int) -> jnp.ndarray:
+        emb = self.encode_prompts([""])
+        return jnp.broadcast_to(emb, (batch_size,) + emb.shape[1:])
+
+    # ------------------------------------------------------------------ #
+    # reference-parity methods
+    # ------------------------------------------------------------------ #
+
+    def pred_noise(
+        self,
+        noised_sample: jnp.ndarray,
+        time_step: jnp.ndarray,
+        context_emb: jnp.ndarray,
+        guidance_scale: float = 1.0,
+    ) -> jnp.ndarray:
+        """Eager eps prediction (latent_diffusion.py:27-65)."""
+        fn = make_pred_noise_fn(
+            self.unet,
+            guidance_scale,
+            bool(self.compat and self.compat.cfg_formula),
+        )
+        uncond = (
+            self.encode_uncond(noised_sample.shape[0])
+            if guidance_scale > 1.0
+            else None
+        )
+        return fn(self.unet_params, noised_sample, time_step, context_emb, uncond)
+
+    def sample(
+        self,
+        noised_sample: jnp.ndarray,
+        context_emb: jnp.ndarray,
+        guidance_scale: float = 7.5,
+        repeat_noise: bool = False,
+        scale_factor: float = 1.0,
+        time_steps: Optional[int] = None,
+        sampler: str = "ddpm",
+        eta: float = 0.0,
+        key: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """Reverse loop x_T -> x_0 (latent_diffusion.py:67-126), jit-compiled.
+
+        The reference's default sampler is DDPM over the full schedule; pass
+        ``sampler="ddim"`` for the fast deterministic path.
+        """
+        num_steps = time_steps or self.noise_scheduler.noise_steps
+        compat = self.compat
+        cache_key = (
+            num_steps,
+            sampler,
+            float(guidance_scale),
+            float(eta),
+            bool(repeat_noise),
+            float(scale_factor),
+            noised_sample.shape,
+            context_emb.shape,
+        )
+        if cache_key not in self._jit_cache:
+            fn = make_sample_fn(
+                self.unet,
+                self.noise_scheduler,
+                num_steps,
+                sampler=sampler,
+                guidance_scale=guidance_scale,
+                eta=eta,
+                repeat_noise=repeat_noise,
+                scale_factor=scale_factor,
+                reference_cfg_formula=bool(compat and compat.cfg_formula),
+                ascending_loop=bool(compat and compat.ascending_sample_loop),
+                # the reference's few-step quirk only applies when t_steps given
+                leading_timesteps=bool(
+                    compat and compat.ascending_sample_loop and time_steps
+                ),
+            )
+            self._jit_cache[cache_key] = jax.jit(fn)
+        sample_fn = self._jit_cache[cache_key]
+
+        uncond = (
+            self.encode_uncond(noised_sample.shape[0])
+            if guidance_scale > 1.0
+            else jnp.zeros_like(context_emb)
+        )
+        if key is None:
+            key = jax.random.PRNGKey(0)
+        return sample_fn(self.unet_params, noised_sample, context_emb, uncond, key)
+
+    # ------------------------------------------------------------------ #
+    # VAE passthroughs
+    # ------------------------------------------------------------------ #
+
+    def encode_image(self, img: jnp.ndarray):
+        """-> AutoEncoderKLOutput (posterior)."""
+        return self.autoencoder.apply(
+            self.autoencoder_params, img, method=self.autoencoder.encode
+        )
+
+    def decode_latent(self, latent: jnp.ndarray) -> jnp.ndarray:
+        return self.autoencoder.apply(
+            self.autoencoder_params, latent, method=self.autoencoder.decode
+        )
+
+    def latent_shape(self, batch: int, image_size: int) -> Tuple[int, int, int, int]:
+        f = 2 ** (len(self.autoencoder.channels_list) - 1)
+        return (batch, image_size // f, image_size // f, self.autoencoder.latent_channels)

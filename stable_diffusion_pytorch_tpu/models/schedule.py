@@ -1,0 +1,250 @@
+"""DDPM/DDIM noise schedules as pure JAX functions over precomputed tables.
+
+TPU-native counterpart of the reference ``DDPMScheduler``
+(/root/reference/stable_diffusion/models/scheduler.py:25-219). The reference is a
+stateful torch class whose ``step`` takes a Python-int timestep and draws from the
+global torch RNG; here the schedule is an immutable pytree of coefficient tables and
+every step function is jittable with a *traced* timestep and an explicit PRNG key, so
+the whole reverse loop compiles into a single ``lax.scan``.
+
+Capabilities beyond the reference:
+- ``cosine`` and ``cubic`` beta schedules are actually implemented (the reference
+  declares the choices at scheduler.py:11-17 but only implements ``linear``).
+- a true deterministic DDIM sampler (``ddim_step``); the reference's ``step`` is the
+  stochastic DDPM posterior only (scheduler.py:141-219) despite the repo's metric
+  naming DDIM.
+- evenly-spaced timestep subsequences for few-step sampling; the reference's
+  ``time_steps=50`` quirk (using raw steps 49..0 of the 1000-step schedule,
+  latent_diffusion.py:103-107) is available via ``leading_timesteps``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from dataclasses import dataclass, field
+from flax import struct
+
+from stable_diffusion_pytorch_tpu.config import BaseConfig
+
+
+@dataclass
+class DDPMConfig(BaseConfig):
+    """Flag surface mirrors /root/reference/stable_diffusion/models/scheduler.py:9-22."""
+
+    noise_schedule: str = field(
+        default="linear",
+        metadata={
+            "help": "Noise schedule type.",
+            "choices": ["linear", "cosine", "cubic"],
+        },
+    )
+    noise_steps: int = field(default=1000, metadata={"help": "Number of noise steps."})
+    beta_start: float = field(default=1e-4, metadata={"help": "Starting value of beta."})
+    beta_end: float = field(default=0.02, metadata={"help": "Ending value of beta."})
+
+
+@struct.dataclass
+class DiffusionSchedule:
+    """Immutable coefficient tables, all shape [T] float32.
+
+    Table definitions match scheduler.py:59-87 so DDPM stepping is numerically
+    parity-checkable against the reference.
+    """
+
+    betas: jnp.ndarray
+    alphas_cumprod: jnp.ndarray
+    sqrt_alpha_bar: jnp.ndarray
+    sqrt_1m_alpha_bar: jnp.ndarray
+    sqrt_recip_alpha_bar: jnp.ndarray
+    sqrt_recip_m1_alpha_bar: jnp.ndarray
+    log_var: jnp.ndarray          # clamped log posterior variance
+    mean_x0_coef: jnp.ndarray
+    mean_xt_coef: jnp.ndarray
+    noise_steps: int = struct.field(pytree_node=False)
+
+    @property
+    def noise_time_steps(self) -> jnp.ndarray:
+        """Descending [T-1 .. 0], like scheduler.py:56-58."""
+        return jnp.arange(self.noise_steps - 1, -1, -1)
+
+
+def make_betas(
+    schedule: str, noise_steps: int, beta_start: float, beta_end: float
+) -> jnp.ndarray:
+    if schedule == "linear":
+        # scheduler.py:89-93
+        return jnp.linspace(beta_start, beta_end, noise_steps, dtype=jnp.float32)
+    if schedule == "cosine":
+        # Nichol & Dhariwal (2021): alpha_bar(t) = cos^2(((t/T)+s)/(1+s) * pi/2)
+        s = 0.008
+        t = jnp.arange(noise_steps + 1, dtype=jnp.float32) / noise_steps
+        alpha_bar = jnp.cos((t + s) / (1 + s) * math.pi / 2) ** 2
+        betas = 1.0 - alpha_bar[1:] / alpha_bar[:-1]
+        return jnp.clip(betas, 0.0, 0.999)
+    if schedule == "cubic":
+        # cubic interpolation between beta_start^(1/3) and beta_end^(1/3)
+        # (the "scaled" family; the quadratic variant is SD's "scaled_linear")
+        return (
+            jnp.linspace(
+                beta_start ** (1.0 / 3.0),
+                beta_end ** (1.0 / 3.0),
+                noise_steps,
+                dtype=jnp.float32,
+            )
+            ** 3
+        )
+    raise ValueError(f"unknown noise schedule: {schedule!r}")
+
+
+def make_schedule(cfg: DDPMConfig) -> DiffusionSchedule:
+    """Precompute all alpha_bar-derived tables (scheduler.py:59-87)."""
+    betas = make_betas(cfg.noise_schedule, cfg.noise_steps, cfg.beta_start, cfg.beta_end)
+    alphas = 1.0 - betas
+    alphas_cumprod = jnp.cumprod(alphas)
+    alpha_bar_prev = jnp.concatenate([jnp.ones((1,), betas.dtype), alphas_cumprod[:-1]])
+    variance = betas * (1.0 - alpha_bar_prev) / (1.0 - alphas_cumprod)
+    return DiffusionSchedule(
+        betas=betas,
+        alphas_cumprod=alphas_cumprod,
+        sqrt_alpha_bar=jnp.sqrt(alphas_cumprod),
+        sqrt_1m_alpha_bar=jnp.sqrt(1.0 - alphas_cumprod),
+        sqrt_recip_alpha_bar=alphas_cumprod**-0.5,
+        sqrt_recip_m1_alpha_bar=jnp.sqrt(1.0 / alphas_cumprod - 1.0),
+        log_var=jnp.log(jnp.clip(variance, min=1e-20)),
+        mean_x0_coef=betas * jnp.sqrt(alpha_bar_prev) / (1.0 - alphas_cumprod),
+        mean_xt_coef=(1.0 - alpha_bar_prev) * jnp.sqrt(alphas) / (1.0 - alphas_cumprod),
+        noise_steps=cfg.noise_steps,
+    )
+
+
+def _bcast(coef: jnp.ndarray, like: jnp.ndarray) -> jnp.ndarray:
+    """Broadcast a per-batch (or scalar) coefficient over trailing dims."""
+    return coef.reshape(coef.shape + (1,) * (like.ndim - coef.ndim))
+
+
+def add_noise(
+    sched: DiffusionSchedule,
+    original_samples: jnp.ndarray,
+    noise: jnp.ndarray,
+    timesteps: jnp.ndarray,
+) -> jnp.ndarray:
+    """Forward process q(x_t | x_0) = N(sqrt(abar_t) x0, (1-abar_t) I).
+
+    Matches scheduler.py:95-139; ``timesteps`` is [batch] int32.
+    """
+    sqrt_ab = _bcast(sched.sqrt_alpha_bar[timesteps], original_samples)
+    sqrt_1m = _bcast(sched.sqrt_1m_alpha_bar[timesteps], original_samples)
+    dtype = original_samples.dtype
+    return sqrt_ab.astype(dtype) * original_samples + sqrt_1m.astype(dtype) * noise
+
+
+def pred_x0_from_eps(
+    sched: DiffusionSchedule, x_t: jnp.ndarray, eps: jnp.ndarray, t: jnp.ndarray
+) -> jnp.ndarray:
+    """DDPM Eq (15): x0 = x_t/sqrt(abar_t) - sqrt(1/abar_t - 1) * eps
+    (scheduler.py:181-184)."""
+    a = sched.sqrt_recip_alpha_bar[t].astype(x_t.dtype)
+    b = sched.sqrt_recip_m1_alpha_bar[t].astype(x_t.dtype)
+    return a * x_t - b * eps
+
+
+def ddpm_step(
+    sched: DiffusionSchedule,
+    pred_noise: jnp.ndarray,
+    x_t: jnp.ndarray,
+    time_step: jnp.ndarray,
+    key: jax.Array,
+    repeat_noise: bool = False,
+    scale_factor: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One stochastic ancestral step x_t -> x_{t-1} (scheduler.py:141-219).
+
+    ``time_step`` is a traced int32 scalar; noise is zeroed at t==0 via ``where``
+    instead of the reference's Python branch so the whole loop stays inside jit.
+    Returns (x_prev, pred_x0).
+    """
+    t = time_step
+    x0 = pred_x0_from_eps(sched, x_t, pred_noise, t)
+    mean = (
+        sched.mean_x0_coef[t].astype(x_t.dtype) * x0
+        + sched.mean_xt_coef[t].astype(x_t.dtype) * x_t
+    )
+    std = jnp.exp(0.5 * sched.log_var[t]).astype(x_t.dtype)
+    if repeat_noise:
+        noise = jax.random.normal(key, (1,) + x_t.shape[1:], x_t.dtype)
+        noise = jnp.broadcast_to(noise, x_t.shape)
+    else:
+        noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+    noise = noise * jnp.asarray(scale_factor, x_t.dtype)
+    # no noise on the final (t == 0) step
+    noise = jnp.where(t > 0, noise, jnp.zeros_like(noise))
+    return mean + std * noise, x0
+
+
+def ddim_step(
+    sched: DiffusionSchedule,
+    pred_noise: jnp.ndarray,
+    x_t: jnp.ndarray,
+    time_step: jnp.ndarray,
+    prev_time_step: jnp.ndarray,
+    key: Optional[jax.Array] = None,
+    eta: float = 0.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One DDIM step x_t -> x_{t_prev} (Song et al. 2021, Eq. 12).
+
+    ``prev_time_step < 0`` denotes abar_prev = 1 (the final step to x_0).
+    With ``eta=0`` the update is deterministic; ``eta=1`` recovers DDPM-like noise.
+    Returns (x_prev, pred_x0). The reference has no DDIM sampler; this is the
+    capability its metric naming promises (SURVEY.md §2.4 item 1).
+    """
+    t = time_step
+    t_prev = prev_time_step
+    abar_t = sched.alphas_cumprod[t]
+    abar_prev = jnp.where(t_prev >= 0, sched.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0)
+
+    x0 = pred_x0_from_eps(sched, x_t, pred_noise, t)
+
+    if eta > 0.0:
+        if key is None:
+            raise ValueError("eta > 0 requires a PRNG key")
+        sigma = (
+            eta
+            * jnp.sqrt((1 - abar_prev) / (1 - abar_t))
+            * jnp.sqrt(1 - abar_t / abar_prev)
+        )
+        noise = jax.random.normal(key, x_t.shape, x_t.dtype)
+        noise = jnp.where(t_prev >= 0, noise, jnp.zeros_like(noise))
+    else:
+        sigma = jnp.asarray(0.0, jnp.float32)
+        noise = jnp.zeros_like(x_t)
+
+    dir_xt = jnp.sqrt(jnp.clip(1.0 - abar_prev - sigma**2, min=0.0)).astype(
+        x_t.dtype
+    ) * pred_noise
+    x_prev = (
+        jnp.sqrt(abar_prev).astype(x_t.dtype) * x0
+        + dir_xt
+        + sigma.astype(x_t.dtype) * noise
+    )
+    return x_prev, x0
+
+
+def spaced_timesteps(noise_steps: int, num_inference_steps: int) -> jnp.ndarray:
+    """Evenly spaced descending timestep subsequence for few-step sampling.
+
+    e.g. T=1000, S=50 -> [980, 960, ..., 20, 0]. This is the correct few-step
+    schedule the reference lacks.
+    """
+    stride = noise_steps // num_inference_steps
+    ts = (jnp.arange(num_inference_steps) * stride)[::-1]
+    return ts.astype(jnp.int32)
+
+
+def leading_timesteps(num_inference_steps: int) -> jnp.ndarray:
+    """The reference's quirky few-step schedule: raw steps S-1..0 of the full
+    schedule (latent_diffusion.py:103-107). Kept for numeric parity runs."""
+    return jnp.arange(num_inference_steps - 1, -1, -1, dtype=jnp.int32)

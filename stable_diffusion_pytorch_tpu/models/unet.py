@@ -1,0 +1,309 @@
+"""Conditional UNet eps_theta(x_t, t, context) in Flax, NHWC.
+
+Re-implements the topology of the reference UNet
+(/root/reference/stable_diffusion/models/unet.py:60-310 and the builders in
+stable_diffusion/models/utils.py:35-200) as a statically-planned Flax module:
+
+- input blocks: per level, ``num_res_blocks`` x (ResBlock [+ SpatialTransformer]),
+  DownSample between levels; attention fires when the running ``attn_mult``
+  (1, doubling per downsample) is in ``attention_resolutions`` (utils.py:55-96).
+- bottleneck: ResBlock + SpatialTransformer + ResBlock (utils.py:100-131).
+- output blocks: per level (reversed), ``num_res_blocks+1`` x (ResBlock on
+  concat(skip, x) [+ SpatialTransformer]), UpSample except at level 0, with the
+  reference's skip-channel pop bookkeeping (utils.py:134-190).
+- out head: GroupNorm + SiLU + 3x3 conv (utils.py:193-200).
+
+Faithfully replicated quirks (they are architecture, not bugs): input-block
+ResBlocks receive no dropout while output-block and bottleneck ones do
+(utils.py:62-68 vs :157-166); the first bottleneck ResBlock's GroupNorm groups
+default to 2 when ``bottleneck_default_groups`` compat is on (utils.py:112).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence, Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from stable_diffusion_pytorch_tpu.config import BaseConfig
+from stable_diffusion_pytorch_tpu.models.blocks import (
+    DownSample,
+    GroupNormSiLU,
+    ResBlock,
+    SpatialTransformer,
+    UpSample,
+    conv3x3,
+    sinusoidal_time_proj,
+)
+
+
+@dataclass
+class UnetConfig(BaseConfig):
+    """Flag surface mirrors /root/reference/stable_diffusion/models/unet.py:29-57."""
+
+    num_res_blocks: int = field(
+        default=2, metadata={"help": "Number of residual blocks at each level."}
+    )
+    n_heads: int = field(
+        default=8, metadata={"help": "Number of attention heads in transformers."}
+    )
+    attention_resolutions: List[int] = field(
+        default_factory=lambda: [0, 1],
+        metadata={
+            "help": "At which level attention should be performed. e.g., [1, 2] means attention is performed at level 1 and 2."
+        },
+    )
+    channels_list: List[int] = field(
+        default_factory=lambda: [160, 320],
+        metadata={"help": "Channels at each level."},
+    )
+    time_emb_dim: Optional[int] = field(
+        default=512,
+        metadata={
+            "help": "Time embedding dimension. If not specified, use 4 * channels_list[0] instead."
+        },
+    )
+    dropout: float = field(default=0.1, metadata={"help": "Dropout rate."})
+    n_layers: int = field(default=2, metadata={"help": "Number of transformer layers."})
+    context_dim: int = field(
+        default=768, metadata={"help": "Embedding dim of context condition."}
+    )
+
+
+def plan_input_blocks(
+    in_channels: int,
+    channels_list: Sequence[int],
+    num_res_blocks: int,
+    attention_resolutions: Optional[Sequence[int]],
+) -> Tuple[list, List[int], int, Optional[int], int]:
+    """Static topology plan for the encoder side (utils.py:35-97).
+
+    Returns (blocks, skip_channels, mid_ch, d_head_divisor, attn_mult) where each
+    block entry is ("res", in, out, attn: bool) or ("down", ch).
+    """
+    blocks = []
+    skip_channels = [in_channels]
+    in_ch = in_channels
+    attn_mult = 1
+    d_head_src = None
+    levels = len(channels_list)
+    for level in range(levels):
+        for _ in range(num_res_blocks):
+            out_ch = channels_list[level]
+            attn = (
+                attention_resolutions is not None
+                and attn_mult in attention_resolutions
+            )
+            if attn:
+                d_head_src = out_ch
+            blocks.append(("res", in_ch, out_ch, attn))
+            in_ch = out_ch
+            skip_channels.append(in_ch)
+        if level != levels - 1:
+            blocks.append(("down", in_ch))
+            skip_channels.append(in_ch)
+            attn_mult *= 2
+    return blocks, skip_channels, in_ch, d_head_src, attn_mult
+
+
+def plan_output_blocks(
+    channels_list: Sequence[int],
+    num_res_blocks: int,
+    attention_resolutions: Optional[Sequence[int]],
+    skip_channels: List[int],
+    in_ch: int,
+    attn_mult: int,
+) -> Tuple[list, int]:
+    """Static topology plan for the decoder side (utils.py:134-190).
+
+    Each entry: ("res", in+skip, out, attn: bool, upsample: bool).
+    """
+    blocks = []
+    skips = list(skip_channels)
+    levels = len(channels_list)
+    for level in reversed(range(levels)):
+        for res_block in range(num_res_blocks + 1):
+            out_ch = channels_list[level]
+            skip_ch = skips.pop() if skips else 0
+            attn = (
+                attention_resolutions is not None
+                and attn_mult in attention_resolutions
+            )
+            upsample = level != 0 and res_block == num_res_blocks
+            blocks.append(("res", in_ch + skip_ch, out_ch, attn, upsample))
+            in_ch = out_ch
+            if upsample and attn_mult:
+                attn_mult //= 2
+    return blocks, in_ch
+
+
+class UNetModel(nn.Module):
+    """The full UNet (unet.py:60-310)."""
+
+    latent_channels: int
+    groups: int
+    num_res_blocks: int = 2
+    n_heads: int = 8
+    attention_resolutions: Tuple[int, ...] = (0, 1)
+    channels_list: Tuple[int, ...] = (160, 320)
+    time_emb_dim: Optional[int] = 512
+    dropout: float = 0.1
+    n_layers: int = 2
+    context_dim: int = 768
+    flipped_time_embedding: bool = False
+    bottleneck_default_groups: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @classmethod
+    def from_config(
+        cls,
+        latent_channels: int,
+        groups: int,
+        cfg: UnetConfig,
+        compat=None,
+        dtype: jnp.dtype = jnp.float32,
+    ) -> "UNetModel":
+        return cls(
+            latent_channels=latent_channels,
+            groups=groups,
+            num_res_blocks=cfg.num_res_blocks,
+            n_heads=cfg.n_heads,
+            attention_resolutions=tuple(cfg.attention_resolutions),
+            channels_list=tuple(cfg.channels_list),
+            time_emb_dim=cfg.time_emb_dim,
+            dropout=cfg.dropout,
+            n_layers=cfg.n_layers,
+            context_dim=cfg.context_dim,
+            flipped_time_embedding=bool(compat and compat.flipped_time_embedding),
+            bottleneck_default_groups=bool(
+                compat and compat.bottleneck_default_groups
+            ),
+            dtype=dtype,
+        )
+
+    def time_proj(self, time_steps: jnp.ndarray) -> jnp.ndarray:
+        """Sinusoidal projection at width channels_list[0] (unet.py:248-262)."""
+        return sinusoidal_time_proj(
+            time_steps, self.channels_list[0], flipped=self.flipped_time_embedding
+        )
+
+    def _spatial_transformer(self, ch: int, name: str) -> SpatialTransformer:
+        return SpatialTransformer(
+            in_channels=ch,
+            n_heads=self.n_heads,
+            d_head=ch // self.n_heads,
+            n_layers=self.n_layers,
+            dropout=self.dropout,
+            context_dim=self.context_dim,
+            groups=self.groups,
+            dtype=self.dtype,
+            name=name,
+        )
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jnp.ndarray,
+        timesteps: jnp.ndarray,
+        context_emb: Optional[jnp.ndarray] = None,
+        deterministic: bool = True,
+    ) -> jnp.ndarray:
+        """x: [B, h, w, latent_channels]; timesteps: [B]; context: [B, S, ctx_dim]."""
+        if context_emb is not None:
+            assert context_emb.shape[-1] == self.context_dim
+        ch0 = self.channels_list[0]
+        t_dim = self.time_emb_dim or ch0 * 4
+
+        # 1. time embedding MLP: Linear -> SiLU -> Linear (unet.py:184-188)
+        t_emb = self.time_proj(timesteps).astype(self.dtype)
+        t_emb = nn.Dense(t_dim, dtype=self.dtype, param_dtype=jnp.float32, name="time_fc1")(t_emb)
+        t_emb = nn.silu(t_emb)
+        t_emb = nn.Dense(t_dim, dtype=self.dtype, param_dtype=jnp.float32, name="time_fc2")(t_emb)
+
+        in_plan, skip_channels, mid_ch, d_head_src, attn_mult = plan_input_blocks(
+            ch0, self.channels_list, self.num_res_blocks, self.attention_resolutions
+        )
+        out_plan, out_ch = plan_output_blocks(
+            self.channels_list,
+            self.num_res_blocks,
+            self.attention_resolutions,
+            skip_channels,
+            mid_ch,
+            attn_mult,
+        )
+
+        # 2. conv_in (unet.py:190; utils.py:31-32)
+        x = conv3x3(ch0, dtype=self.dtype, name="conv_in")(x)
+        skips = [x]
+
+        # 3. input blocks
+        for i, block in enumerate(in_plan):
+            if block[0] == "res":
+                _, _, oc, attn = block
+                x = ResBlock(
+                    out_channels=oc,
+                    time_emb_dim=t_dim,
+                    groups=self.groups,
+                    dtype=self.dtype,
+                    name=f"in_{i}_res",
+                )(x, t_emb, deterministic=deterministic)
+                if attn:
+                    x = self._spatial_transformer(oc, f"in_{i}_attn")(
+                        x, context_emb, deterministic=deterministic
+                    )
+            else:  # down
+                x = DownSample(dtype=self.dtype, name=f"in_{i}_down")(x)
+            skips.append(x)
+
+        # 4. bottleneck: Res + SpatialTransformer + Res (utils.py:100-131)
+        mid_groups1 = 2 if self.bottleneck_default_groups else self.groups
+        d_head = mid_ch // self.n_heads
+        x = ResBlock(
+            time_emb_dim=t_dim,
+            dropout=self.dropout,
+            groups=mid_groups1,
+            dtype=self.dtype,
+            name="mid_res1",
+        )(x, t_emb, deterministic=deterministic)
+        x = SpatialTransformer(
+            in_channels=mid_ch,
+            n_heads=self.n_heads,
+            d_head=d_head,
+            n_layers=self.n_layers,
+            dropout=self.dropout,
+            context_dim=self.context_dim,
+            groups=self.groups,
+            dtype=self.dtype,
+            name="mid_attn",
+        )(x, context_emb, deterministic=deterministic)
+        x = ResBlock(
+            time_emb_dim=t_dim,
+            dropout=self.dropout,
+            groups=self.groups,
+            dtype=self.dtype,
+            name="mid_res2",
+        )(x, t_emb, deterministic=deterministic)
+
+        # 5. output blocks with skip concat (unet.py:306-309)
+        for i, (_, _, oc, attn, upsample) in enumerate(out_plan):
+            x = jnp.concatenate([x, skips.pop()], axis=-1)
+            x = ResBlock(
+                out_channels=oc,
+                time_emb_dim=t_dim,
+                dropout=self.dropout,
+                groups=self.groups,
+                dtype=self.dtype,
+                name=f"out_{i}_res",
+            )(x, t_emb, deterministic=deterministic)
+            if attn:
+                x = self._spatial_transformer(oc, f"out_{i}_attn")(
+                    x, context_emb, deterministic=deterministic
+                )
+            if upsample:
+                x = UpSample(dtype=self.dtype, name=f"out_{i}_up")(x)
+
+        # 6. out head (utils.py:193-200)
+        x = GroupNormSiLU(self.groups, dtype=self.dtype, name="out_norm")(x)
+        return conv3x3(self.latent_channels, dtype=self.dtype, name="conv_out")(x)

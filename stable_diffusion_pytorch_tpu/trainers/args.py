@@ -1,0 +1,118 @@
+"""Trainer / optimizer / logging / checkpoint configuration dataclasses.
+
+Flag surface mirrors /root/reference/trainer_args.py:17-88 and
+/root/reference/utils/checkpointing_args.py:17-37 exactly (names, defaults,
+help strings), so reference launch commands keep working.
+"""
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+from stable_diffusion_pytorch_tpu.config import BaseConfig
+
+
+@dataclass
+class LogConfig(BaseConfig):
+    logging_dir: str = field(default="logs", metadata={"help": "log directory"})
+    with_tracking: bool = field(
+        default=False, metadata={"help": "whether enable tracker"}
+    )
+    report_to: str = field(
+        default="wandb",
+        metadata={"help": "tracker to use, only enabled when passed in --with_tracker"},
+    )
+    resume: bool = field(
+        default=False, metadata={"help": "whether resume from latest run"}
+    )
+    log_image: bool = field(
+        default=False, metadata={"help": "whether test image gen at each evaluation"}
+    )
+    test_image: str = field(
+        default="data/test_images/test01.png",
+        metadata={"help": "test image path for log_image"},
+    )
+
+
+@dataclass
+class TrainConfig(BaseConfig):
+    seed: int = field(default=42, metadata={"help": "seed argument"})
+    max_train_steps: int = field(
+        default=20000,
+        metadata={"help": "total train steps, if provided, overrides max_train_epochs"},
+    )
+    max_train_epochs: int = field(default=100, metadata={"help": "max train epochs"})
+    train_batch_size: int = field(
+        default=8, metadata={"help": "train batch size per processor"}
+    )
+    eval_batch_size: int = field(
+        default=8, metadata={"help": "eval batch size per processor"}
+    )
+    log_interval: int = field(
+        default=100,
+        metadata={
+            "help": "do evaluation every n steps, default 0 means no evaluation during training"
+        },
+    )
+    gradient_accumulation_steps: int = field(
+        default=4, metadata={"help": "gradient accumulation steps"}
+    )
+    use_deepspeed: bool = field(
+        default=False,
+        metadata={
+            "help": "accepted for CLI parity with the reference; optimizer-state "
+            "sharding on TPU is --shard-optimizer-state instead"
+        },
+    )
+    guidance_scale: float = field(
+        default=7.5, metadata={"help": "guidance scale for classifier free guidance"}
+    )
+
+
+@dataclass
+class OptimConfig(BaseConfig):
+    learning_rate: float = field(
+        default=4e-5, metadata={"help": "learning rate argument"}
+    )
+    adam_weight_decay: float = field(
+        default=0.1, metadata={"help": "Adam weight decay argument"}
+    )
+    use_8bit_adam: bool = field(
+        default=False,
+        metadata={
+            "help": "accepted for CLI parity; on TPU this has no effect "
+            "(optax AdamW in fp32 master precision is used)"
+        },
+    )
+    max_grad_norm: float = field(
+        default=0.1, metadata={"help": "max grad norm argument"}
+    )
+    scheduler_type: str = field(
+        default="linear", metadata={"help": "scheduler type argument"}
+    )
+    lr_warmup_steps: int = field(
+        default=500, metadata={"help": "learning rate warm-up steps argument"}
+    )
+
+
+@dataclass
+class CheckpointConfig(BaseConfig):
+    keep_last_only: bool = field(
+        default=False,
+        metadata={"help": "whether only keep the last ckpt"},
+    )
+    ckpt_dir: str = field(
+        default="model",
+        metadata={"help": "dir to save and load checkpoints"},
+    )
+    resume_from_checkpoint: Optional[str] = field(
+        default=None,
+        metadata={
+            "help": "dir to load checkpoints from, None refers to a new run, pass latest for a latest resume"
+        },
+    )
+    checkpointing_steps: Optional[str] = field(
+        default="100",
+        metadata={
+            "help": "Whether the various states should be saved at the end of every n steps, or 'epoch'",
+        },
+    )

@@ -1,0 +1,406 @@
+"""Data pipeline: dataset loading, transforms, batching, image IO.
+
+Counterpart of /root/reference/utils/prepare_dataset.py. Differences by design:
+
+- NHWC float32 tensors in [-1, 1] (TPU layout) instead of NCHW torch tensors.
+- The manual train/validation/test windowing over the single "train" split keeps
+  the reference's exact semantics (prepare_dataset.py:174-215): train = rows
+  [0, max_train), validation = [max_train, max_train+max_val), test = the next
+  max_test rows — including the quirk that the window is only applied when it
+  fits entirely inside the dataset.
+- Offline-first: ``--dataset synthetic`` (or any load failure in a no-egress
+  environment) yields a deterministic procedural dataset so training/eval/bench
+  run anywhere; the HF ``datasets`` path (diffusiondb etc.) is used when
+  available locally.
+- Batches are fixed-shape (drop_last) so every train step hits the same XLA
+  program.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+from typing import Iterator, List, Optional, Sequence
+
+import numpy as np
+
+from stable_diffusion_pytorch_tpu.config import BaseConfig
+
+
+@dataclass
+class DatasetConfig(BaseConfig):
+    """Flag surface mirrors /root/reference/utils/prepare_dataset.py:26-61."""
+
+    dataset: str = field(
+        default="poloclub/diffusiondb",
+        metadata={"help": "name of the dataset to use. Use 'synthetic' for the offline procedural dataset."},
+    )
+    subset: Optional[str] = field(
+        default=None,
+        metadata={"help": "subset of the dataset to use."},
+    )
+    data_dir: str = field(
+        default="data/dataset",
+        metadata={"help": "Cache directory to store loaded dataset."},
+    )
+    dataloader_num_workers: int = field(
+        default=4, metadata={"help": "number of workers for the dataloaders."}
+    )
+    resolution: int = field(default=64, metadata={"help": "resolution of the images."})
+    center_crop: bool = field(
+        default=True, metadata={"help": "whether to apply center cropping."}
+    )
+    random_flip: bool = field(
+        default=False, metadata={"help": "whether to apply random flipping."}
+    )
+    max_train_samples: Optional[int] = field(
+        default=9000, metadata={"help": "max number of training samples to load."}
+    )
+    max_val_samples: Optional[int] = field(
+        default=500, metadata={"help": "max number of validation samples to load."}
+    )
+    max_test_samples: Optional[int] = field(
+        default=500, metadata={"help": "max number of test samples to load."}
+    )
+
+
+# --------------------------------------------------------------------------- #
+# transforms (host-side; the pod-scale on-device path lives in utils/preprocess)
+# --------------------------------------------------------------------------- #
+
+
+def resize_image(img: np.ndarray, resolution: int) -> np.ndarray:
+    """Bilinear resize so the SHORT side == resolution (torchvision Resize semantics,
+    prepare_dataset.py:130-132). img: [H, W, C] uint8/float."""
+    from PIL import Image
+
+    h, w = img.shape[:2]
+    if h < w:
+        new_h, new_w = resolution, max(resolution, round(w * resolution / h))
+    else:
+        new_h, new_w = max(resolution, round(h * resolution / w)), resolution
+    pil = Image.fromarray(img.astype(np.uint8))
+    return np.asarray(pil.resize((new_w, new_h), Image.BILINEAR))
+
+
+def center_crop_image(img: np.ndarray, resolution: int) -> np.ndarray:
+    h, w = img.shape[:2]
+    top = (h - resolution) // 2
+    left = (w - resolution) // 2
+    return img[top : top + resolution, left : left + resolution]
+
+
+def random_crop_image(
+    img: np.ndarray, resolution: int, rng: np.random.Generator
+) -> np.ndarray:
+    h, w = img.shape[:2]
+    top = int(rng.integers(0, h - resolution + 1))
+    left = int(rng.integers(0, w - resolution + 1))
+    return img[top : top + resolution, left : left + resolution]
+
+
+def transform_image(
+    img: np.ndarray,
+    resolution: int,
+    center_crop: bool = True,
+    random_flip: bool = False,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """Resize -> crop -> (flip) -> [-1, 1] float32 NHWC (prepare_dataset.py:127-142)."""
+    rng = rng or np.random.default_rng(0)
+    img = resize_image(img, resolution)
+    img = (
+        center_crop_image(img, resolution)
+        if center_crop
+        else random_crop_image(img, resolution, rng)
+    )
+    if random_flip and rng.random() < 0.5:
+        img = img[:, ::-1]
+    img = img.astype(np.float32) / 255.0
+    return (img - 0.5) / 0.5
+
+
+def detransform(latent) -> np.ndarray:
+    """[B?, h, w, c] in [-1,1] -> HWC uint8 (prepare_dataset.py:145-150).
+
+    Accepts jnp or np arrays, NHWC; squeezes a leading batch dim of 1."""
+    arr = np.asarray(latent, dtype=np.float32)
+    if arr.ndim == 4 and arr.shape[0] == 1:
+        arr = arr[0]
+    arr = (arr + 1.0) / 2.0
+    arr = np.clip(arr, 0.0, 1.0)
+    return (arr * 255.0).astype(np.uint8)
+
+
+def to_img(digit_img: np.ndarray, output_path: str = "", name: str = "sample"):
+    """Save HWC uint8 to {output_path}/{name}.png (prepare_dataset.py:153-156)."""
+    from PIL import Image
+
+    if output_path:
+        os.makedirs(output_path, exist_ok=True)
+    img = Image.fromarray(digit_img.astype(np.uint8))
+    img.save(os.path.join(output_path, f"{name}.png"))
+    return img
+
+
+def tokenize_captions(captions: Sequence, tokenizer, is_train: bool = True) -> np.ndarray:
+    """prepare_dataset.py:105-124: random caption choice for multi-caption rows."""
+    rng = np.random.default_rng(0)
+    chosen: List[str] = []
+    for caption in captions:
+        if isinstance(caption, str):
+            chosen.append(caption)
+        elif isinstance(caption, (list, np.ndarray)):
+            chosen.append(
+                caption[int(rng.integers(len(caption)))] if is_train else caption[0]
+            )
+        else:
+            raise ValueError(
+                "Caption column should contain either strings or lists of strings."
+            )
+    out = tokenizer(
+        chosen,
+        max_length=getattr(tokenizer, "model_max_length", 77),
+        padding="max_length",
+        truncation=True,
+    )
+    return np.asarray(out.input_ids, dtype=np.int32)
+
+
+def collate_fn(examples: Sequence[dict]) -> dict:
+    """Stack examples into fixed-shape arrays (prepare_dataset.py:98-102)."""
+    pixel_values = np.stack([e["pixel_values"] for e in examples]).astype(np.float32)
+    input_ids = np.stack([e["input_ids"] for e in examples]).astype(np.int32)
+    return {"pixel_values": pixel_values, "input_ids": input_ids}
+
+
+# --------------------------------------------------------------------------- #
+# datasets
+# --------------------------------------------------------------------------- #
+
+
+class SyntheticTextImageDataset:
+    """Deterministic procedural text-image dataset for offline runs.
+
+    Each row is a colored-gradient-and-shapes image with a matching caption;
+    rows are a pure function of their index so train/eval are reproducible
+    across hosts (important for per-host data sharding).
+    """
+
+    _COLORS = [
+        ("red", (220, 60, 50)),
+        ("green", (70, 180, 90)),
+        ("blue", (60, 90, 210)),
+        ("yellow", (230, 200, 60)),
+        ("purple", (150, 70, 190)),
+        ("orange", (240, 140, 40)),
+    ]
+    _SHAPES = ["circle", "square", "stripes"]
+
+    def __init__(self, cfg: DatasetConfig, split: str, tokenizer, num_rows: int):
+        self.cfg = cfg
+        self.split = split
+        self.tokenizer = tokenizer
+        self.num_rows = num_rows
+        self.resolution = cfg.resolution
+
+    def __len__(self) -> int:
+        return self.num_rows
+
+    def _render(self, idx: int) -> np.ndarray:
+        res = self.resolution
+        rng = np.random.default_rng(idx + {"train": 0, "validation": 10**6, "test": 2 * 10**6}[self.split])
+        color_i = idx % len(self._COLORS)
+        shape = self._SHAPES[(idx // len(self._COLORS)) % len(self._SHAPES)]
+        _, rgb = self._COLORS[color_i]
+        yy, xx = np.mgrid[0:res, 0:res].astype(np.float32) / res
+        base = np.stack([yy * c / 255.0 for c in rgb], axis=-1)
+        img = base * 0.6 + 0.2
+        cx, cy = rng.uniform(0.3, 0.7, size=2)
+        r = rng.uniform(0.15, 0.3)
+        if shape == "circle":
+            mask = (yy - cy) ** 2 + (xx - cx) ** 2 < r**2
+        elif shape == "square":
+            mask = (np.abs(yy - cy) < r) & (np.abs(xx - cx) < r)
+        else:
+            mask = (np.sin(xx * 20) > 0.3) & (yy > 0.2) & (yy < 0.8)
+        img[mask] = np.array(rgb, np.float32) / 255.0
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+    def __getitem__(self, idx: int) -> dict:
+        color_name = self._COLORS[idx % len(self._COLORS)][0]
+        shape = self._SHAPES[(idx // len(self._COLORS)) % len(self._SHAPES)]
+        caption = f"a {color_name} {shape} on a gradient background"
+        img = self._render(idx)
+        pixel_values = transform_image(
+            img,
+            self.cfg.resolution,
+            center_crop=self.cfg.center_crop,
+            random_flip=self.cfg.random_flip,
+            rng=np.random.default_rng(idx),
+        )
+        input_ids = tokenize_captions([caption], self.tokenizer)[0]
+        return {
+            "pixel_values": pixel_values,
+            "input_ids": input_ids,
+            "text": caption,
+        }
+
+
+class HFImageTextDataset:
+    """Lazy-transform view over an HF dataset split (prepare_dataset.py:159-236)."""
+
+    def __init__(self, hf_dataset, cfg: DatasetConfig, tokenizer, is_train: bool):
+        self.ds = hf_dataset
+        self.cfg = cfg
+        self.tokenizer = tokenizer
+        self.is_train = is_train
+        cols = hf_dataset.column_names
+        self.image_column = [c for c in ["image", "img"] if c in cols][0]
+        self.caption_column = [c for c in ["text", "caption", "prompt"] if c in cols][0]
+
+    def __len__(self) -> int:
+        return len(self.ds)
+
+    def __getitem__(self, idx: int) -> dict:
+        row = self.ds[int(idx)]
+        img = np.asarray(row[self.image_column].convert("RGB"))
+        pixel_values = transform_image(
+            img,
+            self.cfg.resolution,
+            center_crop=self.cfg.center_crop,
+            random_flip=self.cfg.random_flip and self.is_train,
+            rng=np.random.default_rng(idx),
+        )
+        caption = row[self.caption_column]
+        input_ids = tokenize_captions([caption], self.tokenizer, self.is_train)[0]
+        return {
+            "pixel_values": pixel_values,
+            "input_ids": input_ids,
+            "text": caption if isinstance(caption, str) else caption[0],
+        }
+
+
+def _split_window(cfg: DatasetConfig, split: str, total: int, logger=None):
+    """The reference's manual windowing rules (prepare_dataset.py:181-215)."""
+    mtr, mva, mte = cfg.max_train_samples, cfg.max_val_samples, cfg.max_test_samples
+    if split == "train" and mtr is not None:
+        if mtr < total:
+            return range(0, mtr)
+        if logger:
+            logger.info(f"max_train_samples({mtr}) is larger than the dataset({total})")
+    if split == "validation" and mva is not None:
+        if mtr + mva < total:
+            return range(mtr, mtr + mva)
+        if logger:
+            logger.info(f"max_val_samples({mva}) is larger than the dataset({total})")
+    if split == "test" and mte is not None:
+        if mtr + mva + mte < total:
+            return range(mtr + mva, mtr + mva + mte)
+        if logger:
+            logger.info(f"max_test_samples({mte}) is larger than the dataset({total})")
+    return range(total)
+
+
+def get_dataset(args: DatasetConfig, split: str = "train", tokenizer=None, logger=None):
+    """prepare_dataset.py:159-236 with an offline synthetic fallback."""
+    assert tokenizer is not None, "you need to specify a tokenizer"
+    assert split in {"train", "validation", "test"}
+
+    if args.dataset == "synthetic":
+        sizes = {
+            "train": args.max_train_samples or 9000,
+            "validation": args.max_val_samples or 500,
+            "test": args.max_test_samples or 500,
+        }
+        return SyntheticTextImageDataset(args, split, tokenizer, sizes[split])
+
+    try:
+        from datasets import load_dataset
+
+        ds = load_dataset(
+            args.dataset,
+            args.subset,
+            cache_dir=os.path.join(args.data_dir, args.dataset),
+        )["train"]
+    except Exception as e:  # no egress / not cached: degrade to synthetic
+        if logger:
+            logger.warning(
+                f"could not load {args.dataset!r} ({type(e).__name__}: {e}); "
+                "falling back to the synthetic offline dataset"
+            )
+        sizes = {
+            "train": args.max_train_samples or 9000,
+            "validation": args.max_val_samples or 500,
+            "test": args.max_test_samples or 500,
+        }
+        return SyntheticTextImageDataset(args, split, tokenizer, sizes[split])
+
+    window = _split_window(args, split, len(ds), logger)
+    if len(window) < len(ds):
+        ds = ds.select(window)
+    if logger:
+        logger.info(f"Loaded {len(ds)} {split} samples from dataset:{args.dataset}")
+    return HFImageTextDataset(ds, args, tokenizer, is_train=split == "train")
+
+
+def sample_test_image(args, split, tokenizer, logger=None, num: int = 10):
+    """prepare_dataset.py:239-245."""
+    test_data = get_dataset(args, split=split, tokenizer=tokenizer, logger=logger)
+    rng = np.random.default_rng(0)
+    return [
+        test_data[int(rng.integers(0, len(test_data)))]["pixel_values"]
+        for _ in range(num)
+    ]
+
+
+class DataLoader:
+    """Minimal deterministic batcher with fixed shapes (drop_last) for jit.
+
+    Per-host sharding for pod-scale runs: pass (shard_id, num_shards) and each
+    host sees a disjoint, deterministic subset each epoch.
+    """
+
+    def __init__(
+        self,
+        dataset,
+        batch_size: int,
+        shuffle: bool = False,
+        seed: int = 42,
+        drop_last: bool = True,
+        shard_id: int = 0,
+        num_shards: int = 1,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.shard_id = shard_id
+        self.num_shards = num_shards
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset) // self.num_shards
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def __iter__(self) -> Iterator[dict]:
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.default_rng(self.seed + self.epoch)
+            rng.shuffle(indices)
+        indices = indices[self.shard_id :: self.num_shards]
+        n_batches = len(self)
+        for b in range(n_batches):
+            rows = [
+                self.dataset[int(i)]
+                for i in indices[b * self.batch_size : (b + 1) * self.batch_size]
+            ]
+            if not rows:
+                return
+            yield collate_fn(rows)

@@ -1,0 +1,205 @@
+"""Shape/semantics tests for the core Flax blocks (NHWC)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_diffusion_pytorch_tpu.models.blocks import (
+    BasicTransformerBlock,
+    CrossAttention,
+    DownSample,
+    FeedForward,
+    GaussianDistribution,
+    GEGLU,
+    GroupNormSiLU,
+    ResBlock,
+    SpatialTransformer,
+    UpSample,
+    sinusoidal_time_proj,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_upsample_shape():
+    x = jnp.ones((2, 8, 8, 16))
+    mod = UpSample()
+    params = mod.init(KEY, x)
+    y = mod.apply(params, x)
+    assert y.shape == (2, 16, 16, 16)
+
+
+def test_downsample_shape_and_nearest_equivalence():
+    """Stride-2 conv == conv(stride 1) + nearest x0.5 (resnet2d.py:122-123)."""
+    x = jax.random.normal(KEY, (2, 8, 8, 4))
+    mod = DownSample()
+    params = mod.init(KEY, x)
+    y = mod.apply(params, x)
+    assert y.shape == (2, 4, 4, 4)
+    # manual check: stride-1 conv with same kernel, subsample even indices
+    kernel = params["params"]["conv"]["kernel"]
+    bias = params["params"]["conv"]["bias"]
+    full = jax.lax.conv_general_dilated(
+        x, kernel, (1, 1), [(1, 1), (1, 1)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + bias
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(full[:, ::2, ::2, :]), rtol=1e-5, atol=1e-5
+    )
+
+
+def test_resblock_shapes():
+    x = jnp.ones((2, 8, 8, 32))
+    t = jnp.ones((2, 128))
+    mod = ResBlock(out_channels=64, time_emb_dim=128, groups=4)
+    params = mod.init(KEY, x, t)
+    y = mod.apply(params, x, t)
+    assert y.shape == (2, 8, 8, 64)
+    # no time emb / same channels: identity skip
+    mod2 = ResBlock(groups=4)
+    params2 = mod2.init(KEY, x, None)
+    y2 = mod2.apply(params2, x, None)
+    assert y2.shape == x.shape
+
+
+def test_resblock_zero_init_conv_makes_residual_identity_at_init():
+    """out_conv is zero-init (resnet2d.py:194-198), so at init output == skip(x)."""
+    x = jax.random.normal(KEY, (2, 8, 8, 32))
+    mod = ResBlock(groups=4)
+    params = mod.init(KEY, x, None)
+    y = mod.apply(params, x, None)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-5, atol=1e-6)
+
+
+def test_groupnorm_matches_torch():
+    torch = pytest.importorskip("torch")
+    x = np.random.default_rng(0).standard_normal((2, 8, 8, 32)).astype(np.float32)
+    mod = GroupNormSiLU(num_groups=4, apply_silu=False)
+    params = mod.init(KEY, jnp.asarray(x))
+    ours = mod.apply(params, jnp.asarray(x))
+    gn = torch.nn.GroupNorm(4, 32)
+    with torch.no_grad():
+        theirs = gn(torch.from_numpy(x).permute(0, 3, 1, 2)).permute(0, 2, 3, 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), rtol=1e-4, atol=1e-5)
+
+
+def test_sinusoid_matches_reference_flipped_variant():
+    torch = pytest.importorskip("torch")
+    import sys
+
+    sys.path.insert(0, "/root/reference")
+    try:
+        # enter via models.utils to dodge the reference's circular import
+        import stable_diffusion.models.utils  # noqa: F401
+        from stable_diffusion.modules.timestep_embedding import (
+            sinusoidal_time_proj as ref_proj,
+        )
+    except Exception:
+        pytest.skip("reference not importable")
+    ts = np.array([0, 1, 17, 999], dtype=np.int64)
+    ours = sinusoidal_time_proj(jnp.asarray(ts), 160, flipped=True)
+    theirs = ref_proj(torch.from_numpy(ts), 160)
+    # the flipped variant evaluates sin/cos at arguments up to t*10000 ~ 1e7;
+    # f32 range reduction differs slightly between XLA and torch, so compare
+    # with an absolute tolerance (sin/cos are bounded by 1)
+    np.testing.assert_allclose(np.asarray(ours), theirs.numpy(), atol=1e-2)
+
+
+def test_sinusoid_standard_differs_from_flipped():
+    ts = jnp.asarray([5, 100])
+    a = sinusoidal_time_proj(ts, 64, flipped=False)
+    b = sinusoidal_time_proj(ts, 64, flipped=True)
+    assert a.shape == b.shape == (2, 64)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_cross_attention_shapes_and_4d_auto_rearrange():
+    mod = CrossAttention(query_dim=32, context_dim=16, n_heads=4, d_head=8)
+    q3 = jnp.ones((2, 10, 32))
+    ctx = jnp.ones((2, 7, 16))
+    params = mod.init(KEY, q3, ctx)
+    assert mod.apply(params, q3, ctx).shape == (2, 10, 32)
+    # self-attention when context is None
+    mod_self = CrossAttention(query_dim=32, n_heads=4, d_head=8)
+    params_self = mod_self.init(KEY, q3)
+    assert mod_self.apply(params_self, q3).shape == (2, 10, 32)
+    # 4-D auto-rearrange (transformer.py:85-88)
+    q4 = jnp.ones((2, 4, 4, 32))
+    params4 = mod_self.init(KEY, q4)
+    assert mod_self.apply(params4, q4).shape == (2, 4, 4, 32)
+
+
+def test_attention_matches_naive_softmax():
+    """ops.attention XLA path == explicit softmax(QK^T/sqrt(d))V."""
+    from stable_diffusion_pytorch_tpu.ops.attention import xla_attention
+
+    rng = np.random.default_rng(0)
+    q = rng.standard_normal((2, 10, 4, 8)).astype(np.float32)
+    k = rng.standard_normal((2, 7, 4, 8)).astype(np.float32)
+    v = rng.standard_normal((2, 7, 4, 8)).astype(np.float32)
+    scale = 1 / np.sqrt(8)
+    ours = xla_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), scale)
+    sim = np.einsum("bnhd,bmhd->bhnm", q, k) * scale
+    attn = np.exp(sim - sim.max(-1, keepdims=True))
+    attn /= attn.sum(-1, keepdims=True)
+    expected = np.einsum("bhnm,bmhd->bnhd", attn, v)
+    np.testing.assert_allclose(np.asarray(ours), expected, rtol=1e-4, atol=1e-5)
+
+
+def test_geglu_feedforward_shapes():
+    x = jnp.ones((2, 10, 32))
+    g = GEGLU(out_features=64)
+    params = g.init(KEY, x)
+    assert g.apply(params, x).shape == (2, 10, 64)
+    ff = FeedForward(d_model=32)
+    params = ff.init(KEY, x)
+    assert ff.apply(params, x).shape == (2, 10, 32)
+
+
+def test_basic_transformer_block():
+    x = jnp.ones((2, 16, 32))
+    ctx = jnp.ones((2, 7, 24))
+    mod = BasicTransformerBlock(d_model=32, n_heads=4, d_head=8, context_dim=24)
+    params = mod.init(KEY, x, ctx)
+    assert mod.apply(params, x, ctx).shape == (2, 16, 32)
+
+
+def test_spatial_transformer_roundtrip_shape():
+    x = jnp.ones((2, 8, 8, 32))
+    ctx = jnp.ones((2, 7, 24))
+    mod = SpatialTransformer(
+        in_channels=32, n_heads=4, d_head=8, n_layers=2, context_dim=24, groups=4
+    )
+    params = mod.init(KEY, x, ctx)
+    assert mod.apply(params, x, ctx).shape == (2, 8, 8, 32)
+
+
+def test_spatial_transformer_identity_at_init():
+    """proj_out is zero-init (transformer.py:346-348): output == input at init."""
+    x = jax.random.normal(KEY, (2, 4, 4, 32))
+    ctx = jnp.ones((2, 7, 24))
+    mod = SpatialTransformer(
+        in_channels=32, n_heads=4, d_head=8, context_dim=24, groups=4
+    )
+    params = mod.init(KEY, x, ctx)
+    y = mod.apply(params, x, ctx)
+    np.testing.assert_allclose(np.asarray(y), np.asarray(x), rtol=1e-5, atol=1e-6)
+
+
+def test_gaussian_distribution():
+    rng = np.random.default_rng(0)
+    moments = jnp.asarray(rng.standard_normal((2, 4, 4, 8)).astype(np.float32))
+    dist = GaussianDistribution.from_moments(moments)
+    assert dist.mean.shape == (2, 4, 4, 4)
+    s = dist.sample(KEY)
+    assert s.shape == (2, 4, 4, 4)
+    kl = dist.kl()
+    assert kl.shape == (2,)
+    assert bool(jnp.all(kl >= 0))
+    # zero-mean unit-var moments -> kl == 0
+    zero = GaussianDistribution.from_moments(jnp.zeros((2, 4, 4, 8)))
+    np.testing.assert_allclose(np.asarray(zero.kl()), np.zeros(2), atol=1e-6)
+    # deterministic under same key, different under different keys
+    np.testing.assert_allclose(np.asarray(dist.sample(KEY)), np.asarray(s))
+    assert not np.allclose(np.asarray(dist.sample(jax.random.PRNGKey(1))), np.asarray(s))
