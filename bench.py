@@ -1,0 +1,139 @@
+#!/usr/bin/env python
+"""Benchmark: 512x512 50-step DDIM txt2img throughput, images/sec/chip.
+
+Measures the full jitted pipeline — CFG-doubled UNet reverse loop (lax.scan)
+plus f8 VAE decode — on an SD-1.5-scale stack (860M-param UNet) in bf16, the
+workload BASELINE.json's north star is defined on ("≥2x A100 images/sec/chip at
+512x512 50-step DDIM"). The reference publishes no numbers (BASELINE.md), so
+``vs_baseline`` is computed against the widely reported A100 fp16 SD-1.5
+50-step DDIM throughput of ~0.52 images/sec; vs_baseline >= 2.0 meets the
+target.
+
+Prints exactly ONE JSON line on stdout; progress goes to stderr.
+
+Env knobs: BENCH_BATCH (4), BENCH_STEPS (50), BENCH_RES (512), BENCH_REPEATS (3),
+BENCH_PRESET (sd15|reference), BENCH_SKIP_DECODE (0).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+A100_REF_IMAGES_PER_SEC = 0.52  # published A100 fp16 SD1.5 DDIM-50 throughput
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def main() -> None:
+    from stable_diffusion_pytorch_tpu.utils.platform import (
+        enable_compilation_cache,
+        ensure_platform,
+    )
+
+    ensure_platform()
+    enable_compilation_cache()
+    import jax
+    import jax.numpy as jnp
+
+    batch = int(os.environ.get("BENCH_BATCH", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "50"))
+    res = int(os.environ.get("BENCH_RES", "512"))
+    repeats = int(os.environ.get("BENCH_REPEATS", "3"))
+    preset = os.environ.get("BENCH_PRESET", "sd15")
+    skip_decode = os.environ.get("BENCH_SKIP_DECODE", "0") == "1"
+
+    from stable_diffusion_pytorch_tpu.models import presets
+    from stable_diffusion_pytorch_tpu.models.autoencoder import AutoEncoderKL
+    from stable_diffusion_pytorch_tpu.models.latent_diffusion import make_sample_fn
+    from stable_diffusion_pytorch_tpu.models.schedule import make_schedule
+    from stable_diffusion_pytorch_tpu.models.unet import UNetModel
+
+    backend = jax.default_backend()
+    dtype = jnp.bfloat16 if backend == "tpu" else jnp.float32
+    log(f"backend={backend} dtype={dtype.__name__} batch={batch} steps={steps} res={res}")
+
+    if preset == "sd15":
+        unet_cfg = presets.sd15_unet_config()
+        vae_cfg = presets.sd15_autoencoder_config()
+    else:
+        unet_cfg = presets.reference_unet_config()
+        vae_cfg = presets.sd15_autoencoder_config()
+    ddpm_cfg = presets.sd15_ddpm_config()
+
+    unet = UNetModel.from_config(vae_cfg.latent_channels, vae_cfg.groups, unet_cfg, dtype=dtype)
+    vae = AutoEncoderKL.from_config(vae_cfg, dtype=dtype)
+    schedule = make_schedule(ddpm_cfg)
+
+    f = 2 ** (len(vae_cfg.autoencoder_channels_list) - 1)
+    latent_hw = res // f
+    key = jax.random.PRNGKey(0)
+
+    # param init via eval_shape + normal fill (cheap, shapes only)
+    x = jnp.zeros((batch, latent_hw, latent_hw, vae_cfg.latent_channels), dtype)
+    t = jnp.zeros((batch,), jnp.int32)
+    ctx = jnp.zeros((batch, 77, 768), dtype)
+    log("initializing params...")
+    unet_shapes = jax.eval_shape(lambda: unet.init(key, x, t, ctx))
+    unet_params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), unet_shapes
+    )
+    if not skip_decode:
+        vae_shapes = jax.eval_shape(lambda: vae.init(key, jnp.zeros((1, res, res, 3), dtype)))
+        vae_params = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), vae_shapes
+        )
+
+    sample_fn = make_sample_fn(
+        unet, schedule, steps, sampler="ddim", guidance_scale=7.5
+    )
+
+    if skip_decode:
+        def pipeline(unet_params, x_T, ctx, uncond, k):
+            return sample_fn(unet_params, x_T, ctx, uncond, k)
+    else:
+        def pipeline(unet_params, vae_params, x_T, ctx, uncond, k):
+            x0 = sample_fn(unet_params, x_T, ctx, uncond, k)
+            return vae.apply(vae_params, x0, method=vae.decode)
+
+    jit_pipeline = jax.jit(pipeline)
+    x_T = jax.random.normal(key, x.shape, dtype)
+    uncond = jnp.zeros_like(ctx)
+
+    args = (unet_params, x_T, ctx, uncond, key) if skip_decode else (
+        unet_params, vae_params, x_T, ctx, uncond, key
+    )
+
+    log("compiling + warmup run...")
+    t0 = time.time()
+    out = jit_pipeline(*args)
+    jax.block_until_ready(out)
+    log(f"warmup done in {time.time() - t0:.1f}s; output {out.shape}")
+
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        out = jit_pipeline(*args)
+        jax.block_until_ready(out)
+        dt = time.time() - t0
+        times.append(dt)
+        log(f"run {i}: {dt:.3f}s -> {batch / dt:.3f} images/sec")
+
+    times.sort()
+    p50 = times[len(times) // 2]
+    images_per_sec = batch / p50
+    result = {
+        "metric": f"txt2img_{res}_ddim{steps}_images_per_sec_per_chip",
+        "value": round(images_per_sec, 4),
+        "unit": "images/sec/chip",
+        "vs_baseline": round(images_per_sec / A100_REF_IMAGES_PER_SEC, 4),
+    }
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

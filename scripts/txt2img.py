@@ -1,0 +1,74 @@
+#!/usr/bin/env python
+"""txt2img CLI: build the models and sample an image for a prompt.
+
+Counterpart of /root/reference/scripts/txt2img.py:51-54 with a real flag surface
+(the reference hardcodes prompt/steps in ``__main__``). Runs on TPU when
+available, CPU otherwise (BASELINE.json config #1 is explicitly CPU-runnable).
+
+Examples:
+    python scripts/txt2img.py --prompt "a cat" --image-size 64 --sampling-steps 50
+    python scripts/txt2img.py --sampler ddpm --reference-compat   # parity mode
+"""
+
+import logging
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+logging.basicConfig(
+    format="%(asctime)s - %(levelname)s - %(name)s - %(message)s",
+    datefmt="%m/%d/%Y %H:%M:%S",
+    level=logging.INFO,
+)
+logger = logging.getLogger("txt2img")
+
+
+def main(argv=None):
+    from stable_diffusion_pytorch_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
+    from stable_diffusion_pytorch_tpu.config import compat_from_cfg, load_config
+    from stable_diffusion_pytorch_tpu.models.build import build_models, resolve_dtype
+    from stable_diffusion_pytorch_tpu.ops.attention import set_attention_impl
+    from stable_diffusion_pytorch_tpu.pipeline import SamplingConfig, sample
+
+    args, cfg = load_config(argv, extra_data_classes=[SamplingConfig])
+    compat = compat_from_cfg(cfg)
+    if not cfg.parallel.use_pallas_attention:
+        set_attention_impl("xla")
+
+    dtype = resolve_dtype(cfg.parallel.mixed_precision)
+    model = build_models(
+        cfg.model,
+        logger=logger,
+        compat=compat,
+        dtype=dtype,
+        seed=cfg.train.seed,
+        init_image_size=cfg.sampling.image_size,
+    )
+    logger.info(
+        f"sampling {cfg.sampling.num_images} image(s) for prompt={cfg.sampling.prompt!r} "
+        f"({cfg.sampling.sampler}, {cfg.sampling.sampling_steps} steps, "
+        f"cfg={cfg.train.guidance_scale})"
+    )
+    sample(
+        model,
+        image_size=cfg.sampling.image_size,
+        prompt=cfg.sampling.prompt,
+        time_steps=cfg.sampling.sampling_steps,
+        guidance_scale=cfg.train.guidance_scale,
+        scale_factor=cfg.sampling.scale_factor,
+        save_dir=cfg.sampling.output_dir,
+        sampler=cfg.sampling.sampler,
+        eta=cfg.sampling.eta,
+        num_images=cfg.sampling.num_images,
+        repeat_noise=cfg.sampling.repeat_noise,
+        seed=cfg.train.seed,
+        name=cfg.sampling.output_name,
+    )
+    logger.info(f"saved to {cfg.sampling.output_dir}/")
+
+
+if __name__ == "__main__":
+    main()

@@ -261,13 +261,17 @@ def _extra_data_classes() -> List[Type[BaseConfig]]:
 
 def load_config(
     argv: Optional[List[str]] = None,
+    extra_data_classes: Optional[List[Type[BaseConfig]]] = None,
 ) -> Tuple[argparse.Namespace, ConfigNode]:
     """Parse CLI flags into (args, cfg) with the reference's nested group layout:
     ``cfg.{log,train,optim,dataset,checkpoint,compat,parallel}`` and
-    ``cfg.model.{unet,autoencoder,clip,ddpm}`` (parse_args.py:262-309)."""
+    ``cfg.model.{unet,autoencoder,clip,ddpm}`` (parse_args.py:262-309).
+
+    ``extra_data_classes`` lets entry points add their own groups (e.g. the
+    txt2img CLI adds a ``sampling`` group)."""
     train_dcs = _train_data_classes()
     model_dcs = _model_data_classes()
-    extra_dcs = _extra_data_classes()
+    extra_dcs = _extra_data_classes() + list(extra_data_classes or [])
 
     parser = argparse.ArgumentParser(
         description="stable_diffusion_pytorch_tpu: TPU-native stable diffusion"
@@ -280,3 +284,14 @@ def load_config(
     cfg = dataclasses_to_confignode(train_dcs + extra_dcs, args)
     cfg["model"] = dataclasses_to_confignode(model_dcs, args)
     return args, cfg
+
+
+def compat_from_cfg(cfg: ConfigNode):
+    """Materialize the CompatConfig (with reference_compat fan-out) from a parsed
+    config tree."""
+    from stable_diffusion_pytorch_tpu.utils.compat import CompatConfig
+
+    node = cfg["compat"] if "compat" in cfg else None
+    if node is None:
+        return CompatConfig()
+    return CompatConfig(**dict(node.items())).resolved()

@@ -1,0 +1,73 @@
+"""Device mesh + sharding helpers (the NCCL/Accelerate replacement).
+
+The reference delegates all distribution to HF Accelerate over NCCL
+(/root/reference/train_unet.py:97-110, accelerate_config YAMLs). The TPU-native
+equivalent is a 1-D ``data`` mesh over ICI with XLA collectives inserted by the
+compiler from sharding annotations:
+
+- batch arrays: sharded on axis 0 over ``data`` (DDP analog)
+- params: replicated (grad allreduce == XLA-inserted psum at the jit boundary)
+- optimizer state: optionally sharded over ``data`` (DeepSpeed ZeRO-2 analog,
+  train_unet.py:101-109) via :func:`zero_shardings`
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+
+
+def get_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
+    """1-D data-parallel mesh over local devices (or an explicit device list)."""
+    if devices is None:
+        devices = jax.devices()
+        if num_devices is not None:
+            devices = devices[:num_devices]
+    return Mesh(np.asarray(devices), (DATA_AXIS,))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def data_sharded(mesh: Mesh) -> NamedSharding:
+    """Shard axis 0 across the data axis (per-device batch slices)."""
+    return NamedSharding(mesh, P(DATA_AXIS))
+
+
+def batch_shardings(mesh: Mesh, batch) -> object:
+    """Sharding tree for a batch pytree: axis 0 over data for every leaf."""
+    return jax.tree_util.tree_map(lambda _: data_sharded(mesh), batch)
+
+
+def zero_shardings(mesh: Mesh, pytree) -> object:
+    """ZeRO-style shardings for optimizer state: shard a leaf's axis 0 over the
+    data axis whenever it divides evenly, else replicate.
+
+    This is the TPU analog of DeepSpeed ZeRO-2 optimizer-state partitioning
+    (train_unet.py:101-109): each device holds 1/N of the Adam moments, and XLA
+    inserts the reduce-scatter/all-gather pattern at the jit boundary.
+    """
+    n = mesh.devices.size
+
+    def leaf_sharding(x):
+        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
+            return NamedSharding(mesh, P(DATA_AXIS))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map(leaf_sharding, pytree)
+
+
+def put_replicated(mesh: Mesh, pytree):
+    """Place a host pytree on the mesh fully replicated."""
+    return jax.device_put(pytree, replicated(mesh))
+
+
+def put_batch(mesh: Mesh, batch):
+    """Place a host batch on the mesh, sharded along axis 0."""
+    return jax.device_put(batch, data_sharded(mesh))

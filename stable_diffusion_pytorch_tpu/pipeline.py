@@ -1,0 +1,103 @@
+"""Text-to-image sampling pipeline.
+
+Counterpart of /root/reference/scripts/txt2img.py:14-48, re-designed TPU-first:
+
+- the latent shape is computed directly from the VAE config instead of encoding
+  a throwaway random image through the VAE (txt2img.py:29-32);
+- cond and uncond prompt embeddings are encoded ONCE before the loop (the
+  reference re-encodes "" inside every step, latent_diffusion.py:55-60);
+- the whole reverse loop runs as one jitted ``lax.scan`` (see
+  models/latent_diffusion.py) followed by an in-graph VAE decode;
+- initial noise defaults to N(0,1); the reference's U[0,1) quirk
+  (txt2img.py:33) is available via CompatConfig.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import List, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_diffusion_pytorch_tpu.config import BaseConfig
+from stable_diffusion_pytorch_tpu.models.latent_diffusion import LatentDiffusion
+from stable_diffusion_pytorch_tpu.utils.data import detransform, to_img
+
+
+@dataclass
+class SamplingConfig(BaseConfig):
+    """CLI group for the txt2img entry point."""
+
+    prompt: str = field(default="a cat", metadata={"help": "text prompt to sample."})
+    image_size: int = field(default=64, metadata={"help": "output image resolution."})
+    sampling_steps: int = field(default=50, metadata={"help": "number of denoising steps."})
+    sampler: str = field(
+        default="ddim",
+        metadata={"help": "sampling algorithm.", "choices": ["ddim", "ddpm"]},
+    )
+    eta: float = field(default=0.0, metadata={"help": "DDIM eta (0 = deterministic)."})
+    num_images: int = field(default=1, metadata={"help": "batch of images to sample."})
+    scale_factor: float = field(default=1.0, metadata={"help": "noise temperature for DDPM."})
+    repeat_noise: bool = field(
+        default=False, metadata={"help": "share posterior noise across the batch."}
+    )
+    output_dir: str = field(default="output", metadata={"help": "directory for saved PNGs."})
+    output_name: str = field(default="txt2img", metadata={"help": "basename for saved PNGs."})
+
+
+def sample(
+    model: LatentDiffusion,
+    image_size: int = 64,
+    prompt: str = "",
+    time_steps: int = 50,
+    guidance_scale: float = 7.5,
+    scale_factor: float = 1.0,
+    save_dir: Optional[str] = "output",
+    sampler: str = "ddim",
+    eta: float = 0.0,
+    num_images: int = 1,
+    repeat_noise: bool = False,
+    seed: int = 42,
+    name: str = "txt2img",
+) -> List[np.ndarray]:
+    """Sample image(s) for a prompt; returns HWC uint8 arrays and saves PNGs.
+
+    Call surface mirrors the reference ``sample`` (scripts/txt2img.py:14-48).
+    """
+    key = jax.random.PRNGKey(seed)
+    k_init, k_loop = jax.random.split(key)
+
+    shape = model.latent_shape(num_images, image_size)
+    if model.compat is not None and model.compat.uniform_init_noise:
+        noise = jax.random.uniform(k_init, shape)  # reference quirk (txt2img.py:33)
+    else:
+        noise = jax.random.normal(k_init, shape)
+    dtype = model.unet.dtype
+    noise = noise.astype(dtype)
+
+    context_emb = model.encode_prompts([prompt] * num_images).astype(dtype)
+
+    x_0 = model.sample(
+        noised_sample=noise,
+        context_emb=context_emb,
+        guidance_scale=guidance_scale,
+        scale_factor=scale_factor,
+        time_steps=time_steps,
+        sampler=sampler,
+        eta=eta,
+        repeat_noise=repeat_noise,
+        key=k_loop,
+    )
+    images = model.decode_latent(x_0)
+    images = np.asarray(images.astype(jnp.float32))
+
+    outputs = []
+    for i in range(num_images):
+        digit = detransform(images[i])
+        outputs.append(digit)
+        if save_dir is not None:
+            suffix = f"_{i}" if num_images > 1 else ""
+            to_img(digit, output_path=save_dir, name=f"{name}{suffix}")
+    return outputs

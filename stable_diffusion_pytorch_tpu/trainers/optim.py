@@ -1,0 +1,83 @@
+"""Optimizer + LR schedule construction (optax).
+
+Counterpart of the reference's optimizer/scheduler setup
+(/root/reference/train_unet.py:208-259): AdamW with weight decay, global-norm
+gradient clipping, a warmup LR schedule, and gradient accumulation.
+
+Semantics notes:
+- The reference steps its HF scheduler once per *micro* step and compensates by
+  multiplying warmup/total steps by grad_accum (train_unet.py:245-252). Here
+  ``optax.MultiSteps`` advances the inner optimizer once per *optimizer* step,
+  so warmup/total are used directly — the LR trajectory per optimizer step is
+  identical.
+- ``use_8bit_adam`` is accepted for CLI parity but maps to standard fp32-state
+  AdamW (bitsandbytes is CUDA-only; quantized optimizer state on TPU is a
+  possible later optimization).
+"""
+
+from __future__ import annotations
+
+import optax
+
+
+def build_lr_schedule(
+    scheduler_type: str,
+    learning_rate: float,
+    warmup_steps: int,
+    total_steps: int,
+) -> optax.Schedule:
+    """HF transformers get_scheduler equivalents (train_unet.py:245-252)."""
+    warmup = optax.linear_schedule(0.0, learning_rate, max(warmup_steps, 1))
+    decay_steps = max(total_steps - warmup_steps, 1)
+    if scheduler_type == "linear":
+        decay = optax.linear_schedule(learning_rate, 0.0, decay_steps)
+    elif scheduler_type == "cosine":
+        decay = optax.cosine_decay_schedule(learning_rate, decay_steps)
+    elif scheduler_type == "constant_with_warmup":
+        decay = optax.constant_schedule(learning_rate)
+    elif scheduler_type == "constant":
+        return optax.constant_schedule(learning_rate)
+    elif scheduler_type == "polynomial":
+        decay = optax.polynomial_schedule(learning_rate, 0.0, power=1.0, transition_steps=decay_steps)
+    else:
+        raise ValueError(f"unknown scheduler_type {scheduler_type!r}")
+    return optax.join_schedules([warmup, decay], [warmup_steps])
+
+
+def build_optimizer(
+    optim_cfg,
+    max_train_steps: int,
+    gradient_accumulation_steps: int = 1,
+) -> optax.GradientTransformation:
+    """clip-by-global-norm -> AdamW(schedule, wd), accumulated over k micro-steps
+    (train_unet.py:208-236, 359)."""
+    schedule = build_lr_schedule(
+        optim_cfg.scheduler_type,
+        optim_cfg.learning_rate,
+        optim_cfg.lr_warmup_steps,
+        max_train_steps,
+    )
+    tx = optax.chain(
+        optax.clip_by_global_norm(optim_cfg.max_grad_norm),
+        optax.adamw(
+            learning_rate=schedule,
+            b1=0.9,
+            b2=0.999,
+            eps=1e-8,
+            weight_decay=optim_cfg.adam_weight_decay,
+        ),
+    )
+    if gradient_accumulation_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulation_steps)
+    return tx
+
+
+def lr_at_step(optim_cfg, max_train_steps: int, opt_step: int) -> float:
+    """Host-side LR readout for logging (train_unet.py:381-388)."""
+    schedule = build_lr_schedule(
+        optim_cfg.scheduler_type,
+        optim_cfg.learning_rate,
+        optim_cfg.lr_warmup_steps,
+        max_train_steps,
+    )
+    return float(schedule(opt_step))

@@ -1,0 +1,419 @@
+"""Unified trainer core + UNet / VAE specializations.
+
+The reference duplicates ~550 LoC between its two trainers
+(/root/reference/train_unet.py:51-565, train_autoencoder.py:62-529); here one
+``Trainer`` core owns the loop, optimizer, checkpointing, resume replay, eval
+cadence, metric/image logging, and data-parallel placement, while two small
+subclasses define the jitted step functions and image logging.
+
+TPU-native loop design:
+- ONE jitted train step per micro-batch (frozen encoders + q-sample + fwd/bwd +
+  AdamW inside XLA); gradient accumulation via optax.MultiSteps inside the same
+  program — no Python-side accumulation state;
+- batch sharded over the ``data`` mesh axis, params replicated, optimizer state
+  optionally ZeRO-sharded (--shard-optimizer-state);
+- explicit PRNG: the per-micro-step key is fold_in(seed, micro_step), so a
+  resumed run replays the identical noise/timestep stream (the reference gets
+  this only implicitly by re-seeding + skipping batches).
+
+Reference semantics kept: per-processor batch size meaning
+(cfg.train.train_batch_size is PER DEVICE, train_unet.py:320-324), global_step
+counts optimizer steps, checkpoint-{step} dirs + "latest" resume + replay math,
+keep_last_only, eval cadence including the VAE trainer's off-by-one
+((global_step+1) % log_interval, train_autoencoder.py:430 vs train_unet.py:420,
+SURVEY §2.4 item 12), 10% CFG dropout, loss curves in float32.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Any, Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from stable_diffusion_pytorch_tpu.models.build import resolve_dtype
+from stable_diffusion_pytorch_tpu.parallel import mesh as mesh_lib
+from stable_diffusion_pytorch_tpu.trainers.optim import build_optimizer, lr_at_step
+from stable_diffusion_pytorch_tpu.trainers.steps import (
+    TrainState,
+    make_unet_train_step,
+    make_vae_train_step,
+)
+from stable_diffusion_pytorch_tpu.utils.checkpoint import (
+    CheckpointManager,
+    resume_train_state_math,
+)
+from stable_diffusion_pytorch_tpu.utils.data import DataLoader
+from stable_diffusion_pytorch_tpu.utils.tracking import Tracker, get_logger
+
+
+class Trainer:
+    """Shared loop/ckpt/eval/logging core. Subclasses set ``run_name``,
+    implement ``_build`` (models, state, jitted steps) and ``log_images``."""
+
+    run_name = "trainer"
+    eval_cadence_offset = 0  # unet: step % k == 0; vae subclass uses (step+1) % k
+
+    def __init__(self, cfg, train_dataset, eval_dataset, logger=None):
+        assert train_dataset is not None, "must specify a training dataset"
+        assert eval_dataset is not None or cfg.train.log_interval <= 0, (
+            "if passed log_interval > 0, you must specify an evaluation dataset"
+        )
+        self.cfg = cfg
+        self.logger = logger or get_logger(self.run_name)
+        self.train_dataset = train_dataset
+        self.eval_dataset = eval_dataset
+
+        self.mesh = mesh_lib.get_mesh(cfg.parallel.num_devices)
+        self.num_devices = self.mesh.devices.size
+        self.dtype = resolve_dtype(cfg.parallel.mixed_precision)
+
+        # per-processor batch size semantics (train_unet.py:320-324)
+        self.global_train_batch = cfg.train.train_batch_size * self.num_devices
+        self.global_eval_batch = cfg.train.eval_batch_size * self.num_devices
+
+        self.train_loader = DataLoader(
+            train_dataset,
+            batch_size=self.global_train_batch,
+            shuffle=True,
+            seed=cfg.train.seed,
+        )
+        self.eval_loader = (
+            DataLoader(
+                eval_dataset,
+                batch_size=self.global_eval_batch,
+                shuffle=False,
+                seed=cfg.train.seed,
+            )
+            if eval_dataset is not None
+            else None
+        )
+
+        self.ckpt_manager = CheckpointManager(cfg.checkpoint)
+        self.tracker = Tracker(cfg.log, self.run_name, config=cfg.to_dict())
+
+        self.tx = build_optimizer(
+            cfg.optim,
+            max_train_steps=cfg.train.max_train_steps,
+            gradient_accumulation_steps=cfg.train.gradient_accumulation_steps,
+        )
+
+        self._build()  # subclass: models, state, jitted steps
+
+    # ------------------------------------------------------------------ #
+    # subclass surface
+    # ------------------------------------------------------------------ #
+
+    def _build(self) -> None:
+        raise NotImplementedError
+
+    def _train_step(self, batch: Dict[str, Any], key) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def _eval_step(self, batch: Dict[str, Any], key) -> jnp.ndarray:
+        raise NotImplementedError
+
+    def log_images(self, global_step: int) -> None:
+        pass
+
+    # ------------------------------------------------------------------ #
+    # shared machinery
+    # ------------------------------------------------------------------ #
+
+    def _place_state(self, state: TrainState) -> TrainState:
+        """Params replicated; optimizer state optionally ZeRO-sharded."""
+        opt_sharding = (
+            mesh_lib.zero_shardings(self.mesh, state.opt_state)
+            if self.cfg.parallel.shard_optimizer_state
+            else jax.tree_util.tree_map(
+                lambda _: mesh_lib.replicated(self.mesh), state.opt_state
+            )
+        )
+        return TrainState(
+            step=jax.device_put(state.step, mesh_lib.replicated(self.mesh)),
+            params=jax.device_put(state.params, mesh_lib.replicated(self.mesh)),
+            opt_state=jax.device_put(state.opt_state, opt_sharding),
+        )
+
+    def _place_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
+        usable = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
+        return mesh_lib.put_batch(self.mesh, usable)
+
+    def _resume(self) -> dict:
+        state, resumed_step = self.ckpt_manager.restore(self.state)
+        if state is not None:
+            self.state = state
+            self.logger.info(
+                f"Resuming from checkpoint at global step {resumed_step}"
+            )
+        elif self.cfg.checkpoint.resume_from_checkpoint:
+            self.logger.info(
+                f"Checkpoint '{self.cfg.checkpoint.resume_from_checkpoint}' does "
+                "not exist. Starting a new training run."
+            )
+        return resume_train_state_math(
+            num_batches_per_epoch=len(self.train_loader),
+            gradient_accumulation_steps=self.cfg.train.gradient_accumulation_steps,
+            max_train_steps=self.cfg.train.max_train_steps,
+            max_train_epochs=self.cfg.train.max_train_epochs,
+            resumed_global_step=resumed_step,
+        )
+
+    def train(self) -> None:
+        cfg = self.cfg
+        replay = self._resume()
+        max_train_steps = replay["max_train_steps"]
+        max_train_epochs = replay["max_train_epochs"]
+        global_step = replay["global_step"]
+        start_epoch = replay["start_epoch"]
+        resume_step = replay["resume_step"]
+        accum = cfg.train.gradient_accumulation_steps
+        resumed = global_step > 0
+
+        ckpt_steps = cfg.checkpoint.checkpointing_steps
+        if ckpt_steps is not None and str(ckpt_steps).isdigit():
+            ckpt_steps = int(ckpt_steps)
+
+        total_bs = self.global_train_batch * accum
+        self.logger.info("****************Start Training******************")
+        self.logger.info(f"Total training data: {len(self.train_dataset)}")
+        if self.eval_dataset is not None:
+            self.logger.info(f"Total eval data: {len(self.eval_dataset)}")
+        self.logger.info(f"Total update steps: {max_train_steps}")
+        self.logger.info(f"Total Epochs: {max_train_epochs}")
+        self.logger.info(f"Total Batch size: {total_bs}")
+        self.logger.info(f"Devices: {self.num_devices} ({jax.default_backend()})")
+        self.logger.info(f"Resume from epoch={start_epoch}, step={resume_step}")
+        self.logger.info("**********************************************")
+
+        base_key = jax.random.PRNGKey(cfg.train.seed)
+        micro_step = global_step * accum
+        window_losses = []
+        t_last = time.time()
+        done = False
+
+        for epoch in range(start_epoch, max_train_epochs):
+            if done:
+                break
+            self.train_loader.set_epoch(epoch)
+            for step, batch in enumerate(self.train_loader):
+                # skip to the resumed position (train_unet.py:349-358)
+                if resumed and epoch == start_epoch and step < resume_step:
+                    continue
+
+                key = jax.random.fold_in(base_key, micro_step)
+                metrics = self._train_step(self._place_batch(batch), key)
+                micro_step += 1
+                window_losses.append(metrics["loss"])
+
+                sync = micro_step % accum == 0
+                if sync:
+                    global_step += 1
+                    loss_val = float(
+                        np.mean([np.asarray(l) for l in window_losses])
+                    )
+                    window_losses = []
+                    lr = lr_at_step(cfg.optim, max_train_steps, global_step)
+                    dt = time.time() - t_last
+                    t_last = time.time()
+                    self.tracker.log(
+                        {
+                            "train_loss": loss_val,
+                            "lr": lr,
+                            "samples_per_sec": total_bs / max(dt, 1e-9),
+                        },
+                        step=global_step,
+                    )
+                    if global_step % 10 == 0 or global_step <= 3:
+                        self.logger.info(
+                            f"step {global_step}/{max_train_steps} "
+                            f"loss={loss_val:.5f} lr={lr:.2e} "
+                            f"({total_bs / max(dt, 1e-9):.1f} samples/s)"
+                        )
+                    if isinstance(ckpt_steps, int) and global_step % ckpt_steps == 0:
+                        path = self.ckpt_manager.save(global_step, self.state)
+                        self.logger.info(f"Saved state to {path}")
+
+                if global_step >= max_train_steps:
+                    done = True
+                    break
+
+                # ---------------- evaluation ---------------- #
+                if (
+                    sync
+                    and global_step > 0
+                    and cfg.train.log_interval > 0
+                    and (global_step + self.eval_cadence_offset)
+                    % cfg.train.log_interval
+                    == 0
+                ):
+                    self.evaluate(global_step)
+                    if cfg.log.log_image:
+                        self.log_images(global_step)
+
+            # epoch checkpointing (fixing the reference's stale-path bug,
+            # train_unet.py:469-481)
+            if ckpt_steps == "epoch":
+                path = self.ckpt_manager.save(global_step, self.state, epoch=epoch)
+                self.logger.info(f"Saved state to {path}")
+
+        self.tracker.finish()
+
+    def evaluate(self, global_step: int) -> Optional[float]:
+        if self.eval_loader is None:
+            return None
+        self.logger.info(f"Evaluate on eval dataset [len: {len(self.eval_dataset)}]")
+        losses = []
+        key = jax.random.PRNGKey(self.cfg.train.seed + 1)
+        for i, batch in enumerate(self.eval_loader):
+            losses.append(
+                np.asarray(
+                    self._eval_step(self._place_batch(batch), jax.random.fold_in(key, i))
+                )
+            )
+        if not losses:
+            return None
+        eval_loss = float(np.mean(losses))
+        self.logger.info(f"global step {global_step}: eval_loss: {eval_loss}")
+        self.tracker.log({"eval_loss": eval_loss}, step=global_step)
+        return eval_loss
+
+
+class UNetTrainer(Trainer):
+    """Latent-diffusion fine-tuning: frozen CLIP + frozen VAE, trainable UNet
+    (train_unet.py:51-565)."""
+
+    run_name = "train_unet"
+    eval_cadence_offset = 0
+
+    def __init__(self, model, cfg, train_dataset, eval_dataset, logger=None, compat=None):
+        self.model = model
+        self.compat = compat
+        super().__init__(cfg, train_dataset, eval_dataset, logger)
+
+    def _build(self) -> None:
+        cfg = self.cfg
+        compat = self.compat
+        model = self.model
+
+        train_step, eval_step = make_unet_train_step(
+            model.unet,
+            model.text_encoder.module,
+            model.autoencoder,
+            model.noise_scheduler,
+            self.tx,
+            guidance_scale=cfg.train.guidance_scale,
+            train_with_cfg=bool(compat and compat.train_with_cfg),
+            reference_cfg_formula=bool(compat and compat.cfg_formula),
+            cfg_dropout_prob=0.1,
+            whole_batch_cfg_dropout=bool(compat and compat.reference_compat),
+            remat=cfg.parallel.remat_policy != "none",
+        )
+        self._jit_train = jax.jit(train_step, donate_argnums=(0,))
+        self._jit_eval = jax.jit(eval_step)
+
+        self.state = self._place_state(TrainState.create(model.unet_params, self.tx))
+        self.clip_params = mesh_lib.put_replicated(self.mesh, model.text_encoder.params)
+        self.vae_params = mesh_lib.put_replicated(self.mesh, model.autoencoder_params)
+        uncond = model.text_encoder.tokenize([""]).input_ids[0]
+        self.uncond_ids = mesh_lib.put_replicated(self.mesh, jnp.asarray(uncond))
+
+    def _train_step(self, batch, key):
+        self.state, metrics = self._jit_train(
+            self.state, self.clip_params, self.vae_params, batch, self.uncond_ids, key
+        )
+        return metrics
+
+    def _eval_step(self, batch, key):
+        return self._jit_eval(
+            self.state.params, self.clip_params, self.vae_params, batch,
+            self.uncond_ids, key,
+        )
+
+    def log_images(self, global_step: int) -> None:
+        """Sample an image at the reference's eval prompt (train_unet.py:452-465),
+        with 50-step DDIM instead of the reference's full 1000-step loop."""
+        from stable_diffusion_pytorch_tpu.pipeline import sample as sample_pipeline
+
+        self.model.unet_params = jax.device_get(self.state.params)
+        prompt = "a white cat wearing a hat"
+        outs = sample_pipeline(
+            self.model,
+            image_size=self.cfg.dataset.resolution,
+            prompt=prompt,
+            time_steps=50,
+            guidance_scale=self.cfg.train.guidance_scale,
+            save_dir="output",
+            sampler="ddim",
+            seed=self.cfg.train.seed,
+            name="unet_sample",
+        )
+        self.tracker.log_images({"sampled image": outs[0]}, step=global_step)
+
+
+class AutoencoderTrainer(Trainer):
+    """KL-VAE training (train_autoencoder.py:62-529) with the broken reference
+    loss path fixed by default (batch-mean KL; see CompatConfig.kl_per_example0)."""
+
+    run_name = "train_autoencoder"
+    eval_cadence_offset = 1  # (global_step + 1) % log_interval, SURVEY §2.4 item 12
+
+    def __init__(
+        self, vae_module, vae_params, cfg, train_dataset, eval_dataset,
+        test_images=None, logger=None, compat=None,
+    ):
+        self.vae_module = vae_module
+        self.init_vae_params = vae_params
+        self.compat = compat
+        self.test_images = test_images or []
+        super().__init__(cfg, train_dataset, eval_dataset, logger)
+
+    def _build(self) -> None:
+        train_step, eval_step = make_vae_train_step(
+            self.vae_module,
+            self.tx,
+            kl_weight=self.cfg.model.autoencoder.kl_weight,
+            kl_per_example0=bool(self.compat and self.compat.kl_per_example0),
+        )
+        self._jit_train = jax.jit(train_step, donate_argnums=(0,))
+        self._jit_eval = jax.jit(eval_step)
+        self.state = self._place_state(
+            TrainState.create(self.init_vae_params, self.tx)
+        )
+
+    def _train_step(self, batch, key):
+        self.state, metrics = self._jit_train(self.state, batch, key)
+        return metrics
+
+    def _eval_step(self, batch, key):
+        return self._jit_eval(self.state.params, batch, key)
+
+    def recon(self, image: np.ndarray) -> np.ndarray:
+        """Reconstruct one [-1,1] HWC image -> HWC uint8
+        (train_autoencoder.py:509-516)."""
+        from stable_diffusion_pytorch_tpu.utils.data import detransform
+
+        img = jnp.asarray(image)[None]
+        recon, _ = self.vae_module.apply(
+            self.state.params, img, sample_key=jax.random.PRNGKey(0)
+        )
+        return detransform(np.asarray(recon.astype(jnp.float32)))
+
+    def log_images(self, global_step: int) -> None:
+        from stable_diffusion_pytorch_tpu.utils.data import detransform, to_img
+
+        if not self.test_images:
+            return
+        recons = [self.recon(img) for img in self.test_images]
+        os.makedirs("output", exist_ok=True)
+        to_img(recons[0], output_path="output", name="autoencoder")
+        self.tracker.log_images(
+            {
+                "original_imgs": [detransform(i) for i in self.test_images],
+                "recon_imgs": recons,
+            },
+            step=global_step,
+        )

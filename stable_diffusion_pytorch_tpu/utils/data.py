@@ -223,7 +223,9 @@ class SyntheticTextImageDataset:
         elif shape == "square":
             mask = (np.abs(yy - cy) < r) & (np.abs(xx - cx) < r)
         else:
-            mask = (np.sin(xx * 20) > 0.3) & (yy > 0.2) & (yy < 0.8)
+            freq = rng.uniform(12, 28)
+            phase = rng.uniform(0, 2 * np.pi)
+            mask = (np.sin(xx * freq + phase) > 0.3) & (yy > 0.2) & (yy < 0.8)
         img[mask] = np.array(rgb, np.float32) / 255.0
         return (np.clip(img, 0, 1) * 255).astype(np.uint8)
 

@@ -1,0 +1,91 @@
+"""Multi-device tests on the 8-device virtual CPU mesh: shardings + train step.
+
+This is the JAX-native replacement for fake-backend distributed testing
+(SURVEY.md §4): real Mesh, real NamedShardings, XLA-inserted collectives.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from stable_diffusion_pytorch_tpu.parallel import mesh as mesh_lib
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+
+def test_mesh_and_shardings():
+    mesh = mesh_lib.get_mesh(8)
+    assert mesh.devices.size == 8
+    assert mesh.axis_names == (mesh_lib.DATA_AXIS,)
+    batch = jnp.arange(16.0).reshape(16, 1)
+    sharded = mesh_lib.put_batch(mesh, batch)
+    assert sharded.sharding.spec == P(mesh_lib.DATA_AXIS)
+    rep = mesh_lib.put_replicated(mesh, jnp.ones((3,)))
+    assert rep.sharding.spec == P()
+
+
+def test_zero_shardings_rules():
+    mesh = mesh_lib.get_mesh(8)
+    tree = {
+        "divisible": jnp.zeros((16, 4)),
+        "indivisible": jnp.zeros((3, 4)),
+        "scalar": jnp.zeros(()),
+    }
+    shardings = mesh_lib.zero_shardings(mesh, tree)
+    assert shardings["divisible"].spec == P(mesh_lib.DATA_AXIS)
+    assert shardings["indivisible"].spec == P()
+    assert shardings["scalar"].spec == P()
+
+
+def test_data_parallel_grad_matches_single_device():
+    """Gradient of a data-sharded loss must equal the unsharded gradient —
+    i.e. XLA's inserted psum reproduces the DDP allreduce."""
+    mesh = mesh_lib.get_mesh(8)
+    w = jnp.asarray([[2.0], [1.0]])
+    x = jax.random.normal(jax.random.PRNGKey(0), (16, 2))
+    y = jax.random.normal(jax.random.PRNGKey(1), (16, 1))
+
+    def loss(w, x, y):
+        return jnp.mean((x @ w - y) ** 2)
+
+    g_single = jax.grad(loss)(w, x, y)
+
+    xs = mesh_lib.put_batch(mesh, x)
+    ys = mesh_lib.put_batch(mesh, y)
+    ws = mesh_lib.put_replicated(mesh, w)
+    g_sharded = jax.jit(jax.grad(loss))(ws, xs, ys)
+    np.testing.assert_allclose(np.asarray(g_sharded), np.asarray(g_single), rtol=1e-6)
+
+
+def test_dryrun_multichip_full_train_step():
+    import __graft_entry__
+
+    __graft_entry__.dryrun_multichip(8)
+
+
+def test_dataloader_sharding_disjoint_and_complete():
+    from stable_diffusion_pytorch_tpu.utils.data import (
+        DataLoader,
+        DatasetConfig,
+        SyntheticTextImageDataset,
+    )
+    from stable_diffusion_pytorch_tpu.models.clip import HashTokenizer
+
+    cfg = DatasetConfig(dataset="synthetic", resolution=16)
+    ds = SyntheticTextImageDataset(cfg, "train", HashTokenizer(), num_rows=32)
+    seen = []
+    for shard in range(4):
+        dl = DataLoader(ds, batch_size=2, shuffle=True, seed=7, shard_id=shard, num_shards=4)
+        dl.set_epoch(0)
+        for batch in dl:
+            assert batch["pixel_values"].shape == (2, 16, 16, 3)
+            assert batch["input_ids"].shape == (2, 77)
+            seen.append(batch["pixel_values"])
+    # 4 shards x 4 batches x 2 rows = all 32 rows, no duplicates
+    flat = np.concatenate(seen).reshape(len(seen) * 2, -1)
+    assert flat.shape[0] == 32
+    assert len(np.unique(flat.round(4), axis=0)) == 32

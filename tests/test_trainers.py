@@ -1,0 +1,212 @@
+"""Trainer tests: optimizer schedules, resume math, checkpointing, e2e loops."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_diffusion_pytorch_tpu.trainers.args import OptimConfig
+from stable_diffusion_pytorch_tpu.trainers.optim import build_lr_schedule, build_optimizer
+from stable_diffusion_pytorch_tpu.trainers.steps import TrainState
+from stable_diffusion_pytorch_tpu.utils.checkpoint import (
+    CheckpointManager,
+    find_latest_checkpoint,
+    resume_train_state_math,
+)
+
+
+def test_lr_schedule_linear_warmup_decay():
+    sched = build_lr_schedule("linear", 1e-3, warmup_steps=10, total_steps=110)
+    assert float(sched(0)) == 0.0
+    np.testing.assert_allclose(float(sched(10)), 1e-3, rtol=1e-5)
+    np.testing.assert_allclose(float(sched(60)), 5e-4, rtol=1e-3)
+    np.testing.assert_allclose(float(sched(110)), 0.0, atol=1e-9)
+
+
+def test_lr_schedule_kinds():
+    for kind in ["linear", "cosine", "constant", "constant_with_warmup", "polynomial"]:
+        sched = build_lr_schedule(kind, 1e-3, 5, 50)
+        assert np.isfinite(float(sched(25)))
+    with pytest.raises(ValueError):
+        build_lr_schedule("bogus", 1e-3, 5, 50)
+
+
+def test_resume_train_state_math_matches_reference_formulas():
+    """train_unet.py:284-312 arithmetic."""
+    # 20 batches/epoch, accum 4 -> 5 update steps/epoch; resume at step 12
+    r = resume_train_state_math(
+        num_batches_per_epoch=20,
+        gradient_accumulation_steps=4,
+        max_train_steps=50,
+        max_train_epochs=100,
+        resumed_global_step=12,
+    )
+    assert r["num_update_steps_per_epoch"] == 5
+    assert r["max_train_epochs"] == 10  # ceil(50/5)
+    assert r["start_epoch"] == 2  # 12 // 5
+    assert r["resume_step"] == 12 % 5 * 4  # == 8 micro-batches
+    # max_train_steps None -> epochs * steps_per_epoch
+    r2 = resume_train_state_math(20, 4, None, 3, 0)
+    assert r2["max_train_steps"] == 15
+
+
+def test_checkpoint_manager_roundtrip(tmp_path):
+    class CkptCfg:
+        ckpt_dir = str(tmp_path / "ckpts")
+        keep_last_only = True
+        resume_from_checkpoint = "latest"
+
+    import optax
+
+    tx = optax.adam(1e-3)
+    params = {"w": jnp.arange(4.0), "b": jnp.ones((2, 2))}
+    state = TrainState.create(params, tx)
+
+    mgr = CheckpointManager(CkptCfg())
+    assert mgr.resolve_resume_path() is None  # empty dir -> new run
+
+    p1 = mgr.save(10, state)
+    assert os.path.basename(p1) == "checkpoint-10"
+    state2 = TrainState(
+        step=state.step + 5,
+        params=jax.tree_util.tree_map(lambda x: x * 2, state.params),
+        opt_state=state.opt_state,
+    )
+    p2 = mgr.save(20, state2)
+    assert not os.path.exists(p1)  # keep_last_only pruned
+    assert find_latest_checkpoint(CkptCfg.ckpt_dir).endswith("checkpoint-20")
+
+    mgr2 = CheckpointManager(CkptCfg())
+    restored, step = mgr2.restore(state)
+    assert step == 20
+    np.testing.assert_allclose(np.asarray(restored.params["w"]), np.arange(4.0) * 2)
+    assert int(restored.step) == 5
+
+
+def test_unet_train_step_descends():
+    """A few optimizer steps on a fixed batch must reduce the loss."""
+    from stable_diffusion_pytorch_tpu.models.autoencoder import (
+        AutoEncoderKL,
+        AutoencoderConfig,
+    )
+    from stable_diffusion_pytorch_tpu.models.clip import CLIPTextTransformer
+    from stable_diffusion_pytorch_tpu.models.schedule import DDPMConfig, make_schedule
+    from stable_diffusion_pytorch_tpu.models.unet import UNetModel, UnetConfig
+    from stable_diffusion_pytorch_tpu.trainers.steps import make_unet_train_step
+
+    key = jax.random.PRNGKey(0)
+    unet = UNetModel.from_config(
+        4, 8, UnetConfig(channels_list=[16, 32], n_heads=4, time_emb_dim=32, n_layers=1)
+    )
+    vae = AutoEncoderKL.from_config(
+        AutoencoderConfig(autoencoder_channels_list=[8, 16], groups=4)
+    )
+    clip = CLIPTextTransformer(d_model=768, n_layers=1, n_heads=4, intermediate=64)
+
+    img = jax.random.normal(key, (2, 16, 16, 3))
+    ids = jnp.zeros((2, 77), jnp.int32)
+    unet_params = unet.init(
+        key, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768))
+    )
+    vae_params = vae.init(key, img[:1])
+    clip_params = clip.init(key, ids[:1])
+
+    import optax
+
+    tx = optax.adam(1e-3)
+    sched = make_schedule(DDPMConfig(noise_steps=20))
+    train_step, eval_step = make_unet_train_step(unet, clip, vae, sched, tx)
+    jit_step = jax.jit(train_step)
+
+    state = TrainState.create(unet_params, tx)
+    batch = {"pixel_values": img, "input_ids": ids}
+    uncond = jnp.full((77,), 49407, jnp.int32)
+    losses = []
+    for i in range(8):
+        state, metrics = jit_step(state, clip_params, vae_params, batch, uncond, key)
+        losses.append(float(metrics["loss"]))
+    assert int(state.step) == 8
+    assert losses[-1] < losses[0], f"loss did not descend: {losses}"
+    # eval step runs and is finite
+    ev = eval_step(state.params, clip_params, vae_params, batch, uncond, key)
+    assert np.isfinite(float(ev))
+
+
+def test_unet_train_step_latent_cache_path():
+    """Training from cached VAE latents (BASELINE.json config #5) skips the VAE."""
+    from stable_diffusion_pytorch_tpu.models.clip import CLIPTextTransformer
+    from stable_diffusion_pytorch_tpu.models.schedule import DDPMConfig, make_schedule
+    from stable_diffusion_pytorch_tpu.models.unet import UNetModel, UnetConfig
+    from stable_diffusion_pytorch_tpu.trainers.steps import make_unet_train_step
+    import optax
+
+    key = jax.random.PRNGKey(0)
+    unet = UNetModel.from_config(
+        4, 8, UnetConfig(channels_list=[16, 32], n_heads=4, time_emb_dim=32, n_layers=1)
+    )
+    clip = CLIPTextTransformer(d_model=768, n_layers=1, n_heads=4, intermediate=64)
+    ids = jnp.zeros((2, 77), jnp.int32)
+    unet_params = unet.init(
+        key, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768))
+    )
+    clip_params = clip.init(key, ids[:1])
+    tx = optax.adam(1e-3)
+    sched = make_schedule(DDPMConfig(noise_steps=20))
+    train_step, _ = make_unet_train_step(unet, clip, None, sched, tx)
+    state = TrainState.create(unet_params, tx)
+    batch = {"latents": jax.random.normal(key, (2, 8, 8, 4)), "input_ids": ids}
+    state, metrics = jax.jit(train_step)(
+        state, clip_params, None, batch, jnp.full((77,), 49407, jnp.int32), key
+    )
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_vae_train_step_descends():
+    from stable_diffusion_pytorch_tpu.models.autoencoder import (
+        AutoEncoderKL,
+        AutoencoderConfig,
+    )
+    from stable_diffusion_pytorch_tpu.trainers.steps import make_vae_train_step
+    import optax
+
+    key = jax.random.PRNGKey(0)
+    vae = AutoEncoderKL.from_config(
+        AutoencoderConfig(autoencoder_channels_list=[8, 16], groups=4)
+    )
+    img = jax.random.normal(key, (2, 16, 16, 3)) * 0.5
+    params = vae.init(key, img)
+    tx = optax.adam(1e-3)
+    train_step, eval_step = make_vae_train_step(vae, tx, kl_weight=1e-4)
+    jit_step = jax.jit(train_step)
+    state = TrainState.create(params, tx)
+    batch = {"pixel_values": img}
+    losses = []
+    for i in range(8):
+        state, metrics = jit_step(state, batch, jax.random.fold_in(key, i))
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0]
+    assert np.isfinite(float(eval_step(state.params, batch, key)))
+
+
+def test_gradient_accumulation_multisteps():
+    """MultiSteps: params only change every k micro-steps."""
+    # constant schedule: the default linear warmup starts at lr=0, which would
+    # make the first applied update a no-op and mask the accumulation behavior
+    cfg = OptimConfig(learning_rate=1e-2, max_grad_norm=1.0, scheduler_type="constant")
+    tx = build_optimizer(cfg, max_train_steps=100, gradient_accumulation_steps=2)
+    params = {"w": jnp.ones((4,))}
+    state = tx.init(params)
+
+    def grad_of(p):
+        return {"w": p["w"] * 0 + 1.0}
+
+    import optax
+
+    updates, state = tx.update(grad_of(params), state, params)
+    p1 = optax.apply_updates(params, updates)
+    np.testing.assert_allclose(np.asarray(p1["w"]), np.asarray(params["w"]))  # no-op
+    updates, state = tx.update(grad_of(p1), state, p1)
+    p2 = optax.apply_updates(p1, updates)
+    assert not np.allclose(np.asarray(p2["w"]), np.asarray(p1["w"]))  # applied

@@ -1,0 +1,96 @@
+"""UNet topology and forward tests."""
+
+import jax
+import jax.numpy as jnp
+import pytest
+
+from stable_diffusion_pytorch_tpu.models.unet import (
+    UNetModel,
+    UnetConfig,
+    plan_input_blocks,
+    plan_output_blocks,
+)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def tiny_unet(**kw):
+    cfg = UnetConfig(
+        channels_list=[32, 64], n_heads=4, time_emb_dim=64, n_layers=1, **kw
+    )
+    return UNetModel.from_config(4, 8, cfg)
+
+
+def test_forward_shape_and_conditioning():
+    unet = tiny_unet()
+    x = jax.random.normal(KEY, (2, 8, 8, 4))
+    t = jnp.array([0, 10], jnp.int32)
+    ctx = jax.random.normal(KEY, (2, 77, 768))
+    params = unet.init(KEY, x, t, ctx)
+    eps = unet.apply(params, x, t, ctx)
+    assert eps.shape == x.shape
+    # context must matter (cross-attention wired through)
+    ctx2 = jax.random.normal(jax.random.PRNGKey(9), ctx.shape)
+    eps2 = unet.apply(params, x, t, ctx2)
+    assert not jnp.allclose(eps, eps2)
+    # timestep must matter
+    eps3 = unet.apply(params, x, jnp.array([500, 900], jnp.int32), ctx)
+    assert not jnp.allclose(eps, eps3)
+
+
+def test_default_attention_placement():
+    """SURVEY.md §2.4 item 8: with attention_resolutions=[0,1], attention only
+    fires at level 0 (attn_mult starts at 1, 0 never matches)."""
+    cfg = UnetConfig()  # channels [160, 320], attn res [0, 1]
+    in_plan, skips, mid_ch, _, attn_mult = plan_input_blocks(
+        cfg.channels_list[0], cfg.channels_list, cfg.num_res_blocks,
+        cfg.attention_resolutions,
+    )
+    res_blocks = [b for b in in_plan if b[0] == "res"]
+    # level 0 blocks (first num_res_blocks) have attention, level 1 don't
+    assert [b[3] for b in res_blocks] == [True, True, False, False]
+    assert mid_ch == 320 and attn_mult == 2
+    out_plan, out_ch = plan_output_blocks(
+        cfg.channels_list, cfg.num_res_blocks, cfg.attention_resolutions,
+        skips, mid_ch, attn_mult,
+    )
+    # reversed levels: level1 (3 blocks, no attn, last has upsample), level0 (3 blocks, attn)
+    assert [b[3] for b in out_plan] == [False, False, False, True, True, True]
+    assert [b[4] for b in out_plan] == [False, False, True, False, False, False]
+    assert out_ch == 160
+
+
+def test_skip_channel_bookkeeping():
+    """Output-block input channels must consume the skip stack in reverse
+    (models/utils.py:155-159)."""
+    cfg = UnetConfig(channels_list=[32, 64], n_heads=4)
+    in_plan, skips, mid_ch, _, mult = plan_input_blocks(
+        32, [32, 64], 2, [0, 1]
+    )
+    assert skips == [32, 32, 32, 32, 64, 64]
+    out_plan, _ = plan_output_blocks([32, 64], 2, [0, 1], skips, mid_ch, mult)
+    # in_ch at each output block = prev out + popped skip
+    assert [b[1] for b in out_plan] == [64 + 64, 64 + 64, 64 + 32, 64 + 32, 32 + 32, 32 + 32]
+
+
+def test_sd15_plan_attention_at_three_levels():
+    from stable_diffusion_pytorch_tpu.models.presets import sd15_unet_config
+
+    cfg = sd15_unet_config()
+    in_plan, skips, mid_ch, _, mult = plan_input_blocks(
+        cfg.channels_list[0], cfg.channels_list, cfg.num_res_blocks,
+        cfg.attention_resolutions,
+    )
+    res = [b for b in in_plan if b[0] == "res"]
+    # attention at levels 0,1,2 (attn_mult 1,2,4) but not level 3 (8)
+    assert [b[3] for b in res] == [True] * 6 + [False] * 2
+    assert mid_ch == 1280 and mult == 8
+
+
+def test_unet_no_context_dim_assertion():
+    unet = tiny_unet()
+    x = jnp.ones((1, 8, 8, 4))
+    t = jnp.zeros((1,), jnp.int32)
+    bad_ctx = jnp.ones((1, 77, 100))
+    with pytest.raises(AssertionError):
+        unet.init(KEY, x, t, bad_ctx)
