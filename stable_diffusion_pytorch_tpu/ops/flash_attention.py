@@ -1,0 +1,149 @@
+"""Pallas TPU flash attention for the SpatialTransformer hot path.
+
+The reference materializes the full (h*w x kv_len) score matrix in HBM for every
+head (/root/reference/stable_diffusion/modules/transformer.py:100-111). This
+kernel tiles the query axis over a grid and keeps each (BLOCK_N x kv_len) score
+tile in VMEM only — scores never touch HBM. For SD shapes (q up to 64x64=4096
+tokens, kv either q itself or 77 text tokens) the whole K/V block for one
+batch-head fits VMEM, so each tile does a single-pass exact softmax (numerically
+identical to XLA, f32 accumulation) instead of an online-softmax loop — fewer
+passes, same memory guarantee.
+
+Layout contract (matches ops.attention): q [B, N, H, D], k/v [B, M, H, D]
+-> out [B, N, H, D]. D is zero-padded to a lane multiple (128); kv rows beyond
+the true M are masked with -inf before the softmax; padded q rows compute
+garbage that is sliced away.
+
+Backward: custom VJP recomputing attention gradients with standard einsum
+formulas (dv = p^T do; ds = p*(dp - rowsum(dp*p)); ...). This keeps training
+correct; a fused Pallas backward kernel is a later optimization.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+LANE = 128
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+    q = q_ref[0]  # [BLOCK_N, Dp]
+    k = k_ref[0]  # [Mp, Dp]
+    v = v_ref[0]  # [Mp, Dp]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    s = s * scale
+    m_pad = k.shape[0]
+    if kv_len < m_pad:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
+        s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = (p / l).astype(v.dtype)
+    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
+    o_ref[0] = o.astype(o_ref.dtype)
+
+
+def _flash_fwd_impl(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: float,
+    interpret: bool,
+    block_n: int = 256,
+) -> jnp.ndarray:
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    dtype = q.dtype
+
+    d_pad = _round_up(d, LANE)
+    m_pad = _round_up(m, LANE)
+    block_n = min(block_n, _round_up(n, 16))
+    n_pad = _round_up(n, block_n)
+
+    # [B,N,H,D] -> [B*H, N, D] with zero padding
+    def to_bhnd(x, length, length_pad):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, length, d)
+        return jnp.pad(
+            x, ((0, 0), (0, length_pad - length), (0, d_pad - d))
+        )
+
+    qb = to_bhnd(q, n, n_pad)
+    kb = to_bhnd(k, m, m_pad)
+    vb = to_bhnd(v, m, m_pad)
+
+    grid = (b * h, n_pad // block_n)
+    out = pl.pallas_call(
+        functools.partial(_fa_kernel, scale=scale, kv_len=m),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, block_n, d_pad), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, m_pad, d_pad), lambda bh, i: (bh, 0, 0)),
+            pl.BlockSpec((1, m_pad, d_pad), lambda bh, i: (bh, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, block_n, d_pad), lambda bh, i: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), dtype),
+        interpret=interpret,
+    )(qb, kb, vb)
+
+    out = out[:, :n, :d].reshape(b, h, n, d)
+    return jnp.transpose(out, (0, 2, 1, 3))
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _flash_attention(q, k, v, scale: float, interpret: bool):
+    return _flash_fwd_impl(q, k, v, scale, interpret)
+
+
+def _flash_fwd(q, k, v, scale, interpret):
+    return _flash_fwd_impl(q, k, v, scale, interpret), (q, k, v)
+
+
+def _flash_bwd(scale, interpret, res, do):
+    q, k, v = res
+    # recompute attention probabilities in f32 (XLA path) for exact gradients
+    s = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
+    s = s * scale
+    p = jax.nn.softmax(s, axis=-1)
+    do_f = do.astype(jnp.float32)
+    v_f = v.astype(jnp.float32)
+    dv = jnp.einsum("bhnm,bnhd->bmhd", p, do_f)
+    dp = jnp.einsum("bnhd,bmhd->bhnm", do_f, v_f)
+    ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+    dq = jnp.einsum("bhnm,bmhd->bnhd", ds, k.astype(jnp.float32)) * scale
+    dk = jnp.einsum("bhnm,bnhd->bmhd", ds, q.astype(jnp.float32)) * scale
+    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+_flash_attention.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Flash attention entry point; q [B,N,H,D], k/v [B,M,H,D] -> [B,N,H,D].
+
+    ``interpret=None`` auto-selects Pallas interpreter mode off-TPU (tests run
+    the same kernel logic on CPU).
+    """
+    if scale is None:
+        scale = 1.0 / (q.shape[-1] ** 0.5)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return _flash_attention(q, k, v, float(scale), bool(interpret))

@@ -189,10 +189,13 @@ class Trainer:
         self.logger.info(f"Resume from epoch={start_epoch}, step={resume_step}")
         self.logger.info("**********************************************")
 
+        from stable_diffusion_pytorch_tpu.utils.profiling import StepTimer
+
         base_key = jax.random.PRNGKey(cfg.train.seed)
         micro_step = global_step * accum
         window_losses = []
         t_last = time.time()
+        step_timer = StepTimer(warmup=2)  # skip compile steps
         done = False
 
         for epoch in range(start_epoch, max_train_epochs):
@@ -205,7 +208,10 @@ class Trainer:
                     continue
 
                 key = jax.random.fold_in(base_key, micro_step)
-                metrics = self._train_step(self._place_batch(batch), key)
+                placed = self._place_batch(batch)
+                with step_timer:
+                    metrics = self._train_step(placed, key)
+                    jax.block_until_ready(metrics["loss"])
                 micro_step += 1
                 window_losses.append(metrics["loss"])
 
@@ -224,6 +230,7 @@ class Trainer:
                             "train_loss": loss_val,
                             "lr": lr,
                             "samples_per_sec": total_bs / max(dt, 1e-9),
+                            **step_timer.summary_ms(),
                         },
                         step=global_step,
                     )

@@ -372,6 +372,7 @@ class DataLoader:
         drop_last: bool = True,
         shard_id: int = 0,
         num_shards: int = 1,
+        collate=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -380,6 +381,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.shard_id = shard_id
         self.num_shards = num_shards
+        self.collate = collate or collate_fn
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -405,4 +407,4 @@ class DataLoader:
             ]
             if not rows:
                 return
-            yield collate_fn(rows)
+            yield self.collate(rows)

@@ -1,0 +1,70 @@
+"""Profiling / tracing: per-step timing and jax.profiler capture.
+
+The reference has no dedicated profiling support (SURVEY §5 — only
+CUDA_LAUNCH_BLOCKING pinning and tqdm timing). Here:
+
+- :class:`StepTimer` records wall-clock per step and reports p50/p90/mean —
+  "UNet step p50 ms" is a driver metric (BASELINE.json).
+- :func:`trace` wraps a block in a ``jax.profiler`` trace whose output can be
+  opened in TensorBoard/XProf (works on TPU and CPU backends).
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Dict, List, Optional
+
+
+class StepTimer:
+    def __init__(self, warmup: int = 1):
+        self.durations: List[float] = []
+        self.warmup = warmup
+        self._seen = 0
+        self._t0: Optional[float] = None
+
+    def __enter__(self) -> "StepTimer":
+        self._t0 = time.perf_counter()
+        return self
+
+    def __exit__(self, *exc) -> None:
+        dt = time.perf_counter() - self._t0
+        self._seen += 1
+        if self._seen > self.warmup:
+            self.durations.append(dt)
+
+    def percentile(self, q: float) -> float:
+        if not self.durations:
+            return float("nan")
+        xs = sorted(self.durations)
+        idx = min(int(len(xs) * q / 100.0), len(xs) - 1)
+        return xs[idx]
+
+    def summary_ms(self) -> Dict[str, float]:
+        if not self.durations:
+            return {}
+        return {
+            "step_ms_p50": self.percentile(50) * 1e3,
+            "step_ms_p90": self.percentile(90) * 1e3,
+            "step_ms_mean": sum(self.durations) / len(self.durations) * 1e3,
+        }
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """jax.profiler trace context (view with TensorBoard's profile plugin)."""
+    import jax
+
+    try:
+        jax.profiler.start_trace(log_dir)
+        started = True
+    except Exception:
+        started = False
+    try:
+        yield
+    finally:
+        if started:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass

@@ -1,0 +1,143 @@
+"""Data pipeline tests: transforms, windowing semantics, caches, preprocessing."""
+
+import numpy as np
+import pytest
+
+from stable_diffusion_pytorch_tpu.models.clip import HashTokenizer
+from stable_diffusion_pytorch_tpu.utils.data import (
+    DataLoader,
+    DatasetConfig,
+    SyntheticTextImageDataset,
+    _split_window,
+    collate_fn,
+    detransform,
+    get_dataset,
+    to_img,
+    tokenize_captions,
+    transform_image,
+)
+
+
+def test_transform_image_range_and_shape():
+    img = (np.random.default_rng(0).random((80, 120, 3)) * 255).astype(np.uint8)
+    out = transform_image(img, 64, center_crop=True)
+    assert out.shape == (64, 64, 3)
+    assert out.dtype == np.float32
+    assert out.min() >= -1.0 and out.max() <= 1.0
+
+
+def test_detransform_roundtrip():
+    x = np.linspace(-1, 1, 48).reshape(4, 4, 3).astype(np.float32)
+    img = detransform(x)
+    assert img.shape == (4, 4, 3) and img.dtype == np.uint8
+    # batch-of-1 squeeze (prepare_dataset.py:146)
+    img_b = detransform(x[None])
+    np.testing.assert_array_equal(img, img_b)
+
+
+def test_to_img_saves(tmp_path):
+    img = np.zeros((8, 8, 3), np.uint8)
+    to_img(img, output_path=str(tmp_path), name="x")
+    assert (tmp_path / "x.png").exists()
+
+
+def test_split_window_reference_semantics():
+    """prepare_dataset.py:181-215: windows only apply when they fit entirely."""
+    cfg = DatasetConfig(max_train_samples=10, max_val_samples=5, max_test_samples=5)
+    assert list(_split_window(cfg, "train", 100)) == list(range(0, 10))
+    assert list(_split_window(cfg, "validation", 100)) == list(range(10, 15))
+    assert list(_split_window(cfg, "test", 100)) == list(range(15, 20))
+    # quirk: when the window does NOT fit, the whole dataset is returned
+    assert list(_split_window(cfg, "validation", 12)) == list(range(12))
+
+
+def test_tokenize_captions_multi_caption_rows():
+    tok = HashTokenizer()
+    ids = tokenize_captions(["hello world", ["a", "b"]], tok, is_train=False)
+    assert ids.shape == (2, 77)
+    assert ids.dtype == np.int32
+    with pytest.raises(ValueError):
+        tokenize_captions([42], tok)
+
+
+def test_synthetic_dataset_deterministic():
+    cfg = DatasetConfig(dataset="synthetic", resolution=16)
+    ds = SyntheticTextImageDataset(cfg, "train", HashTokenizer(), num_rows=8)
+    a, b = ds[3], ds[3]
+    np.testing.assert_array_equal(a["pixel_values"], b["pixel_values"])
+    np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+    assert "gradient background" in a["text"]
+
+
+def test_get_dataset_fallback_to_synthetic():
+    cfg = DatasetConfig(
+        dataset="poloclub/diffusiondb", resolution=16,
+        max_train_samples=8, data_dir="/tmp/nonexistent_data",
+    )
+    ds = get_dataset(cfg, "train", tokenizer=HashTokenizer())
+    assert len(ds) == 8  # no egress -> synthetic fallback with same window size
+
+
+def test_dataloader_epoch_shuffling_deterministic():
+    cfg = DatasetConfig(dataset="synthetic", resolution=16)
+    ds = SyntheticTextImageDataset(cfg, "train", HashTokenizer(), num_rows=16)
+    dl = DataLoader(ds, batch_size=4, shuffle=True, seed=1)
+    dl.set_epoch(0)
+    first_a = next(iter(dl))["input_ids"]
+    dl.set_epoch(0)
+    first_b = next(iter(dl))["input_ids"]
+    np.testing.assert_array_equal(first_a, first_b)
+    dl.set_epoch(1)
+    first_c = next(iter(dl))["input_ids"]
+    assert not np.array_equal(first_a, first_c)
+
+
+def test_latent_cache_roundtrip(tmp_path):
+    import jax
+
+    from stable_diffusion_pytorch_tpu.models.autoencoder import (
+        AutoEncoderKL,
+        AutoencoderConfig,
+    )
+    from stable_diffusion_pytorch_tpu.utils.latent_cache import (
+        LatentCacheDataset,
+        build_latent_cache,
+        collate_latents,
+    )
+
+    cfg = DatasetConfig(dataset="synthetic", resolution=16)
+    ds = SyntheticTextImageDataset(cfg, "train", HashTokenizer(), num_rows=6)
+    vae = AutoEncoderKL.from_config(
+        AutoencoderConfig(autoencoder_channels_list=[8, 16], groups=4)
+    )
+    import jax.numpy as jnp
+
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    path = build_latent_cache(vae, params, ds, str(tmp_path / "cache.npz"), batch_size=3)
+
+    cached = LatentCacheDataset(path)
+    assert len(cached) == 6
+    row = cached[0]
+    assert row["latents"].shape == (8, 8, 4)  # 16/f2, latent 4
+    assert row["input_ids"].shape == (77,)
+    dl = DataLoader(cached, batch_size=2, collate=collate_latents)
+    batch = next(iter(dl))
+    assert batch["latents"].shape == (2, 8, 8, 4)
+    assert batch["input_ids"].shape == (2, 77)
+
+
+def test_device_preprocess_matches_host_semantics():
+    import jax.numpy as jnp
+
+    from stable_diffusion_pytorch_tpu.utils.preprocess import device_preprocess
+
+    rng = np.random.default_rng(0)
+    imgs = (rng.random((2, 40, 60, 3)) * 255).astype(np.uint8)
+    out = device_preprocess(jnp.asarray(imgs), 32, center_crop=True)
+    assert out.shape == (2, 32, 32, 3)
+    out_np = np.asarray(out)
+    assert out_np.min() >= -1.0 and out_np.max() <= 1.0
+    # compare against the host transform (both bilinear short-side resize +
+    # center crop; implementations differ (PIL vs XLA), so tolerance is loose)
+    host = np.stack([transform_image(imgs[i], 32, center_crop=True) for i in range(2)])
+    assert np.mean(np.abs(out_np - host)) < 0.08

@@ -1,0 +1,83 @@
+"""Flash-attention kernel tests (Pallas interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_diffusion_pytorch_tpu.ops.attention import xla_attention
+from stable_diffusion_pytorch_tpu.ops.flash_attention import flash_attention
+
+KEY = jax.random.PRNGKey(0)
+
+
+def rand(shape, key=KEY, dtype=jnp.float32):
+    return jax.random.normal(key, shape, dtype)
+
+
+@pytest.mark.parametrize(
+    "n,m,h,d",
+    [
+        (64, 64, 4, 32),     # tiny self-attn
+        (256, 256, 2, 40),   # SD d_head=40, unaligned D
+        (100, 77, 2, 64),    # cross-attn: unaligned q len + text kv 77
+        (64, 7, 1, 128),     # short kv, single head
+    ],
+)
+def test_flash_matches_xla(n, m, h, d):
+    ks = jax.random.split(KEY, 3)
+    q = rand((2, n, h, d), ks[0])
+    k = rand((2, m, h, d), ks[1])
+    v = rand((2, m, h, d), ks[2])
+    scale = 1.0 / np.sqrt(d)
+    ours = flash_attention(q, k, v, scale, interpret=True)
+    ref = xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_flash_bf16():
+    ks = jax.random.split(KEY, 3)
+    q = rand((1, 128, 2, 40), ks[0], jnp.bfloat16)
+    k = rand((1, 77, 2, 40), ks[1], jnp.bfloat16)
+    v = rand((1, 77, 2, 40), ks[2], jnp.bfloat16)
+    ours = flash_attention(q, k, v, interpret=True)
+    ref = xla_attention(q, k, v, 1.0 / np.sqrt(40))
+    assert ours.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(ours, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_flash_gradients_match_xla():
+    ks = jax.random.split(KEY, 3)
+    q = rand((1, 64, 2, 32), ks[0])
+    k = rand((1, 77, 2, 32), ks[1])
+    v = rand((1, 77, 2, 32), ks[2])
+    scale = 1.0 / np.sqrt(32)
+
+    def loss_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, scale, interpret=True) ** 2)
+
+    def loss_xla(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, scale) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(q, k, v)
+    gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(gf, gx):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+
+
+def test_dispatch_uses_flash_when_forced():
+    from stable_diffusion_pytorch_tpu.ops import attention as A
+
+    ks = jax.random.split(KEY, 3)
+    q = rand((1, 64, 2, 32), ks[0])
+    k = rand((1, 77, 2, 32), ks[1])
+    v = rand((1, 77, 2, 32), ks[2])
+    A.set_attention_impl("pallas")
+    try:
+        out = A.multi_head_attention(q, k, v)
+    finally:
+        A.set_attention_impl("auto")
+    ref = A.xla_attention(q, k, v, 1.0 / np.sqrt(32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)

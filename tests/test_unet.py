@@ -27,6 +27,11 @@ def test_forward_shape_and_conditioning():
     t = jnp.array([0, 10], jnp.int32)
     ctx = jax.random.normal(KEY, (2, 77, 768))
     params = unet.init(KEY, x, t, ctx)
+    # zero-init residual convs (proj_out/out_conv) make attention/resblocks
+    # identity at init — perturb all params so conditioning paths are live
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(KEY, p.shape, p.dtype), params
+    )
     eps = unet.apply(params, x, t, ctx)
     assert eps.shape == x.shape
     # context must matter (cross-attention wired through)

@@ -20,7 +20,7 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
-def main(argv=None):
+def _main(argv=None):
     from stable_diffusion_pytorch_tpu.utils.platform import (
         enable_compilation_cache,
         ensure_platform,
@@ -68,6 +68,13 @@ def main(argv=None):
         test_images=test_images, logger=logger, compat=compat,
     )
     trainer.train()
+
+
+def main(argv=None):
+    # per-host crash capture, the torch elastic @record analog
+    from stable_diffusion_pytorch_tpu.utils.errors import record
+
+    return record(_main)(argv)
 
 
 if __name__ == "__main__":
