@@ -92,13 +92,18 @@ def main() -> None:
         unet, schedule, steps, sampler="ddim", guidance_scale=7.5
     )
 
+    # each pipeline also returns a f32 scalar checksum: pulling it to host
+    # (float()) forces execution to complete — on this remote TPU runtime
+    # block_until_ready alone does not wait for compute
     if skip_decode:
         def pipeline(unet_params, x_T, ctx, uncond, k):
-            return sample_fn(unet_params, x_T, ctx, uncond, k)
+            out = sample_fn(unet_params, x_T, ctx, uncond, k)
+            return out, jnp.sum(out.astype(jnp.float32))
     else:
         def pipeline(unet_params, vae_params, x_T, ctx, uncond, k):
             x0 = sample_fn(unet_params, x_T, ctx, uncond, k)
-            return vae.apply(vae_params, x0, method=vae.decode)
+            out = vae.apply(vae_params, x0, method=vae.decode)
+            return out, jnp.sum(out.astype(jnp.float32))
 
     jit_pipeline = jax.jit(pipeline)
     x_T = jax.random.normal(key, x.shape, dtype)
@@ -110,15 +115,15 @@ def main() -> None:
 
     log("compiling + warmup run...")
     t0 = time.time()
-    out = jit_pipeline(*args)
-    jax.block_until_ready(out)
+    out, checksum = jit_pipeline(*args)
+    float(checksum)
     log(f"warmup done in {time.time() - t0:.1f}s; output {out.shape}")
 
     times = []
     for i in range(repeats):
         t0 = time.time()
-        out = jit_pipeline(*args)
-        jax.block_until_ready(out)
+        out, checksum = jit_pipeline(*args)
+        float(checksum)
         dt = time.time() - t0
         times.append(dt)
         log(f"run {i}: {dt:.3f}s -> {batch / dt:.3f} images/sec")

@@ -24,6 +24,7 @@ from __future__ import annotations
 import argparse
 import ast
 import dataclasses
+import os
 import re
 from dataclasses import MISSING, dataclass, fields
 from enum import Enum
@@ -268,7 +269,12 @@ def load_config(
     ``cfg.model.{unet,autoencoder,clip,ddpm}`` (parse_args.py:262-309).
 
     ``extra_data_classes`` lets entry points add their own groups (e.g. the
-    txt2img CLI adds a ``sampling`` group)."""
+    txt2img CLI adds a ``sampling`` group).
+
+    ``--config-file preset.json`` loads a JSON dict of {field_name: value}
+    defaults applied below explicit CLI flags — the TPU analog of the
+    reference's accelerate_config YAMLs (SURVEY.md §2 component 20); presets
+    ship in ``stable_diffusion_pytorch_tpu/config_presets/``."""
     train_dcs = _train_data_classes()
     model_dcs = _model_data_classes()
     extra_dcs = _extra_data_classes() + list(extra_data_classes or [])
@@ -276,8 +282,32 @@ def load_config(
     parser = argparse.ArgumentParser(
         description="stable_diffusion_pytorch_tpu: TPU-native stable diffusion"
     )
+    parser.add_argument(
+        "--config-file",
+        type=str,
+        default=None,
+        help="JSON preset of flag defaults (CLI flags still win); "
+        "see stable_diffusion_pytorch_tpu/config_presets/",
+    )
     for dc in train_dcs + model_dcs + extra_dcs:
         add_dataclass_args(parser, dc)
+
+    # peek for --config-file and install its values as parser defaults
+    import json
+    import sys as _sys
+
+    peek_argv = list(argv) if argv is not None else _sys.argv[1:]
+    if "--config-file" in peek_argv:
+        path = peek_argv[peek_argv.index("--config-file") + 1]
+        preset_dir = os.path.join(os.path.dirname(__file__), "config_presets")
+        if not os.path.exists(path):
+            candidate = os.path.join(preset_dir, path)
+            path = candidate if os.path.exists(candidate) else path
+        with open(path) as f:
+            preset = json.load(f)
+        parser.set_defaults(
+            **{k: v for k, v in preset.items() if not k.startswith("_")}
+        )
 
     args = parser.parse_args(argv)
 

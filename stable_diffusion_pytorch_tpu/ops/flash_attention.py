@@ -56,14 +56,23 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     o_ref[0] = o.astype(o_ref.dtype)
 
 
+# 512 measured fastest for the SD 4096-token self-attention on v5e (vs 256:
+# 0.973 -> 0.995 img/s end-to-end); still fits VMEM with f32 score tiles
+DEFAULT_BLOCK_N = 512
+
+
 def _flash_fwd_impl(
     q: jnp.ndarray,
     k: jnp.ndarray,
     v: jnp.ndarray,
     scale: float,
     interpret: bool,
-    block_n: int = 256,
+    block_n: int = 0,
 ) -> jnp.ndarray:
+    if block_n <= 0:
+        import os
+
+        block_n = int(os.environ.get("SD_FLASH_BLOCK_N", DEFAULT_BLOCK_N))
     b, n, h, d = q.shape
     m = k.shape[1]
     dtype = q.dtype

@@ -9,6 +9,7 @@ in float32 for bf16 safety (torch GroupNorm also accumulates in fp32).
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
@@ -58,6 +59,47 @@ def xla_group_norm(
     return xf.astype(dtype)
 
 
+def _pallas_eligible(x: jnp.ndarray) -> bool:
+    import numpy as np
+
+    c = x.shape[-1]
+    s = int(np.prod(x.shape[1:-1]))
+    from stable_diffusion_pytorch_tpu.ops.fused_groupnorm import _VMEM_BYTES_LIMIT
+
+    return (
+        c % 128 == 0
+        and s % 8 == 0
+        and s * c * x.dtype.itemsize <= _VMEM_BYTES_LIMIT
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _fused_group_norm(x, scale, bias, num_groups, eps, apply_silu):
+    from stable_diffusion_pytorch_tpu.ops.fused_groupnorm import pallas_group_norm
+
+    return pallas_group_norm(x, scale, bias, num_groups, eps, apply_silu)
+
+
+def _fused_fwd(x, scale, bias, num_groups, eps, apply_silu):
+    out = _fused_group_norm(x, scale, bias, num_groups, eps, apply_silu)
+    return out, (x, scale, bias)
+
+
+def _fused_bwd(num_groups, eps, apply_silu, res, g):
+    # exact gradients by differentiating the XLA reference implementation
+    x, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: xla_group_norm(x_, s_, b_, num_groups, eps, apply_silu),
+        x,
+        scale,
+        bias,
+    )
+    return vjp(g)
+
+
+_fused_group_norm.defvjp(_fused_fwd, _fused_bwd)
+
+
 def group_norm(
     x: jnp.ndarray,
     scale: jnp.ndarray,
@@ -66,15 +108,12 @@ def group_norm(
     eps: float = 1e-5,
     apply_silu: bool = False,
 ) -> jnp.ndarray:
-    """Dispatching entry point. Pallas kernel used on TPU when available."""
+    """Dispatching entry point. Fused Pallas kernel (with XLA-exact custom VJP)
+    on TPU for VMEM-fitting feature maps; XLA elsewhere."""
     if _use_pallas():
-        try:
-            from stable_diffusion_pytorch_tpu.ops.fused_groupnorm import (
-                pallas_group_norm,
-            )
-
-            return pallas_group_norm(x, scale, bias, num_groups, eps, apply_silu)
-        except Exception:
-            if _IMPL == "pallas":
-                raise
+        eligible = _pallas_eligible(x)
+        if _IMPL == "pallas" and not eligible:
+            raise ValueError("shape not eligible for the fused GN kernel")
+        if eligible:
+            return _fused_group_norm(x, scale, bias, num_groups, eps, apply_silu)
     return xla_group_norm(x, scale, bias, num_groups, eps, apply_silu)

@@ -30,6 +30,13 @@ class ParallelConfig(BaseConfig):
         default=False,
         metadata={"help": "Shard optax state along the data axis (ZeRO-2 analog)."},
     )
+    shard_params: bool = field(
+        default=False,
+        metadata={
+            "help": "Shard model parameters along the data axis (FSDP analog); "
+            "XLA inserts the all-gather/reduce-scatter pattern."
+        },
+    )
     remat_policy: str = field(
         default="none",
         metadata={

@@ -57,12 +57,14 @@ class Trainer:
     run_name = "trainer"
     eval_cadence_offset = 0  # unet: step % k == 0; vae subclass uses (step+1) % k
 
-    def __init__(self, cfg, train_dataset, eval_dataset, logger=None):
+    def __init__(self, cfg, train_dataset, eval_dataset, logger=None,
+                 train_collate=None):
         assert train_dataset is not None, "must specify a training dataset"
         assert eval_dataset is not None or cfg.train.log_interval <= 0, (
             "if passed log_interval > 0, you must specify an evaluation dataset"
         )
         self.cfg = cfg
+        self._train_collate = train_collate
         self.logger = logger or get_logger(self.run_name)
         self.train_dataset = train_dataset
         self.eval_dataset = eval_dataset
@@ -80,6 +82,7 @@ class Trainer:
             batch_size=self.global_train_batch,
             shuffle=True,
             seed=cfg.train.seed,
+            collate=train_collate,
         )
         self.eval_loader = (
             DataLoader(
@@ -124,17 +127,24 @@ class Trainer:
     # ------------------------------------------------------------------ #
 
     def _place_state(self, state: TrainState) -> TrainState:
-        """Params replicated; optimizer state optionally ZeRO-sharded."""
+        """Params replicated (or FSDP-sharded); optimizer state optionally
+        ZeRO-sharded. XLA/GSPMD inserts the matching collectives."""
+        replicate = lambda tree: jax.tree_util.tree_map(  # noqa: E731
+            lambda _: mesh_lib.replicated(self.mesh), tree
+        )
         opt_sharding = (
             mesh_lib.zero_shardings(self.mesh, state.opt_state)
             if self.cfg.parallel.shard_optimizer_state
-            else jax.tree_util.tree_map(
-                lambda _: mesh_lib.replicated(self.mesh), state.opt_state
-            )
+            else replicate(state.opt_state)
+        )
+        param_sharding = (
+            mesh_lib.zero_shardings(self.mesh, state.params)
+            if getattr(self.cfg.parallel, "shard_params", False)
+            else replicate(state.params)
         )
         return TrainState(
             step=jax.device_put(state.step, mesh_lib.replicated(self.mesh)),
-            params=jax.device_put(state.params, mesh_lib.replicated(self.mesh)),
+            params=jax.device_put(state.params, param_sharding),
             opt_state=jax.device_put(state.opt_state, opt_sharding),
         )
 
@@ -296,10 +306,13 @@ class UNetTrainer(Trainer):
     run_name = "train_unet"
     eval_cadence_offset = 0
 
-    def __init__(self, model, cfg, train_dataset, eval_dataset, logger=None, compat=None):
+    def __init__(self, model, cfg, train_dataset, eval_dataset, logger=None,
+                 compat=None, train_collate=None):
         self.model = model
         self.compat = compat
-        super().__init__(cfg, train_dataset, eval_dataset, logger)
+        super().__init__(
+            cfg, train_dataset, eval_dataset, logger, train_collate=train_collate
+        )
 
     def _build(self) -> None:
         cfg = self.cfg

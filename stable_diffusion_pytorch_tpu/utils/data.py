@@ -62,6 +62,13 @@ class DatasetConfig(BaseConfig):
     max_test_samples: Optional[int] = field(
         default=500, metadata={"help": "max number of test samples to load."}
     )
+    latent_cache: Optional[str] = field(
+        default=None,
+        metadata={
+            "help": "Path to a VAE-latent cache (.npz). train_unet builds it on "
+            "first use and then trains from cached latents instead of pixels."
+        },
+    )
 
 
 # --------------------------------------------------------------------------- #

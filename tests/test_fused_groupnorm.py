@@ -1,0 +1,75 @@
+"""Fused GroupNorm kernel tests (Pallas interpreter mode on CPU)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_diffusion_pytorch_tpu.ops import groupnorm as G
+from stable_diffusion_pytorch_tpu.ops.fused_groupnorm import pallas_group_norm
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.mark.parametrize(
+    "shape,groups",
+    [
+        ((2, 8, 8, 128), 32),
+        ((1, 16, 16, 256), 32),
+        ((3, 64, 128), 4),       # token layout [B, N, C]
+        ((2, 8, 8, 1280), 32),   # SD bottleneck channels
+    ],
+)
+def test_pallas_gn_matches_xla(shape, groups):
+    x = jax.random.normal(KEY, shape)
+    c = shape[-1]
+    scale = jax.random.normal(jax.random.PRNGKey(1), (c,)) * 0.1 + 1.0
+    bias = jax.random.normal(jax.random.PRNGKey(2), (c,)) * 0.1
+    for silu in (False, True):
+        ours = pallas_group_norm(x, scale, bias, groups, apply_silu=silu)
+        ref = G.xla_group_norm(x, scale, bias, groups, apply_silu=silu)
+        np.testing.assert_allclose(
+            np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5
+        )
+
+
+def test_pallas_gn_bf16():
+    x = jax.random.normal(KEY, (2, 8, 8, 128), jnp.bfloat16)
+    scale = jnp.ones((128,))
+    bias = jnp.zeros((128,))
+    ours = pallas_group_norm(x, scale, bias, 32, apply_silu=True)
+    ref = G.xla_group_norm(x, scale, bias, 32, apply_silu=True)
+    assert ours.dtype == jnp.bfloat16
+    np.testing.assert_allclose(
+        np.asarray(ours, np.float32), np.asarray(ref, np.float32), rtol=3e-2, atol=3e-2
+    )
+
+
+def test_fused_gn_gradients_match_xla():
+    G.set_groupnorm_impl("pallas")
+    try:
+        x = jax.random.normal(KEY, (2, 8, 8, 128))
+        scale = jnp.ones((128,)) * 1.3
+        bias = jnp.ones((128,)) * 0.1
+
+        def loss_fused(x, s, b):
+            return jnp.sum(G.group_norm(x, s, b, 32, apply_silu=True) ** 2)
+
+        def loss_xla(x, s, b):
+            return jnp.sum(G.xla_group_norm(x, s, b, 32, apply_silu=True) ** 2)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2))(x, scale, bias)
+        gx = jax.grad(loss_xla, argnums=(0, 1, 2))(x, scale, bias)
+        for a, b in zip(gf, gx):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4)
+    finally:
+        G.set_groupnorm_impl("auto")
+
+
+def test_dispatch_falls_back_for_unaligned_channels():
+    """C=320 is not lane-aligned: dispatch must use XLA silently in auto mode."""
+    x = jax.random.normal(KEY, (2, 8, 8, 320))
+    scale, bias = jnp.ones((320,)), jnp.zeros((320,))
+    out = G.group_norm(x, scale, bias, 32)  # auto mode, must not raise
+    ref = G.xla_group_norm(x, scale, bias, 32)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)

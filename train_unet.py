@@ -62,8 +62,33 @@ def _main(argv=None):
         cfg.dataset, split="validation", tokenizer=model.text_encoder.tokenizer,
         logger=logger,
     )
+
+    collate = None
+    if cfg.dataset.latent_cache:
+        # BASELINE config #5: encode once, train from cached latents
+        import os as _os
+
+        from stable_diffusion_pytorch_tpu.utils.latent_cache import (
+            LatentCacheDataset,
+            build_latent_cache,
+            collate_latents,
+        )
+
+        if not _os.path.exists(cfg.dataset.latent_cache):
+            build_latent_cache(
+                model.autoencoder,
+                model.autoencoder_params,
+                train_dataset,
+                cfg.dataset.latent_cache,
+                logger=logger,
+            )
+        train_dataset = LatentCacheDataset(cfg.dataset.latent_cache)
+        collate = collate_latents
+        logger.info(f"training from cached latents: {cfg.dataset.latent_cache}")
+
     trainer = UNetTrainer(
-        model, cfg, train_dataset, eval_dataset, logger=logger, compat=compat
+        model, cfg, train_dataset, eval_dataset, logger=logger, compat=compat,
+        train_collate=collate,
     )
     trainer.train()
 
