@@ -66,6 +66,7 @@ def main(argv=None):
         repeat_noise=cfg.sampling.repeat_noise,
         seed=cfg.train.seed,
         name=cfg.sampling.output_name,
+        negative_prompt=cfg.sampling.negative_prompt,
     )
     logger.info(f"saved to {cfg.sampling.output_dir}/")
 

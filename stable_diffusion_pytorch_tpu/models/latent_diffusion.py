@@ -98,18 +98,22 @@ def make_sample_fn(
     S-1..0, latent_diffusion.py:103-107) and ``ascending_loop`` its reversed
     iteration order (0..T-1 over the chosen subsequence).
     """
-    if sampler not in ("ddim", "ddpm"):
+    if sampler not in ("ddim", "ddpm", "dpmpp"):
         raise ValueError(f"unknown sampler {sampler!r}")
 
     if leading_timesteps or num_steps == schedule.noise_steps:
         ts = sched_lib.leading_timesteps(min(num_steps, schedule.noise_steps))
     else:
         ts = sched_lib.spaced_timesteps(schedule.noise_steps, num_steps)
-    # prev step for DDIM: the next entry in the descending sequence, -1 at the end
+    # prev step for DDIM/DPM++: next entry in the descending sequence, -1 at end
     ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, ts.dtype)])
+    # step BEFORE each entry for DPM++ multistep; >= noise_steps marks "first"
+    ts_last = jnp.concatenate(
+        [jnp.full((1,), schedule.noise_steps, ts.dtype), ts[:-1]]
+    )
     if ascending_loop:
         # reference quirk: iterate the schedule in ascending-t order
-        ts, ts_prev = ts[::-1], ts_prev[::-1]
+        ts, ts_prev, ts_last = ts[::-1], ts_prev[::-1], ts_last[::-1]
 
     pred_noise = make_pred_noise_fn(
         unet_module, guidance_scale, reference_cfg_formula
@@ -119,17 +123,21 @@ def make_sample_fn(
         bsz = x_T.shape[0]
 
         def body(carry, step):
-            x, k = carry
-            t, t_prev = step
+            x, x0_prev, k = carry
+            t, t_prev, t_last = step
             k, sub = jax.random.split(k)
             t_batch = jnp.full((bsz,), t, jnp.int32)
             eps = pred_noise(unet_params, x, t_batch, context_emb, uncond_emb)
             if sampler == "ddim":
-                x_next, _ = sched_lib.ddim_step(
+                x_next, x0 = sched_lib.ddim_step(
                     schedule, eps, x, t, t_prev, key=sub, eta=eta
                 )
+            elif sampler == "dpmpp":
+                x_next, x0 = sched_lib.dpmpp_2m_step(
+                    schedule, eps, x, t, t_prev, x0_prev, t_last
+                )
             else:
-                x_next, _ = sched_lib.ddpm_step(
+                x_next, x0 = sched_lib.ddpm_step(
                     schedule,
                     eps,
                     x,
@@ -138,9 +146,10 @@ def make_sample_fn(
                     repeat_noise=repeat_noise,
                     scale_factor=scale_factor,
                 )
-            return (x_next, k), None
+            return (x_next, x0, k), None
 
-        (x_0, _), _ = jax.lax.scan(body, (x_T, key), (ts, ts_prev))
+        init = (x_T, jnp.zeros_like(x_T), key)
+        (x_0, _, _), _ = jax.lax.scan(body, init, (ts, ts_prev, ts_last))
         return x_0
 
     return sample
@@ -178,8 +187,9 @@ class LatentDiffusion:
         ids = self.text_encoder.tokenize(list(prompts)).input_ids
         return self.text_encoder.encode_text(ids)
 
-    def encode_uncond(self, batch_size: int) -> jnp.ndarray:
-        emb = self.encode_prompts([""])
+    def encode_uncond(self, batch_size: int, text: str = "") -> jnp.ndarray:
+        """Unconditional (or negative-prompt) embedding, broadcast to batch."""
+        emb = self.encode_prompts([text])
         return jnp.broadcast_to(emb, (batch_size,) + emb.shape[1:])
 
     # ------------------------------------------------------------------ #
@@ -217,6 +227,7 @@ class LatentDiffusion:
         sampler: str = "ddpm",
         eta: float = 0.0,
         key: Optional[jax.Array] = None,
+        negative_prompt: str = "",
     ) -> jnp.ndarray:
         """Reverse loop x_T -> x_0 (latent_diffusion.py:67-126), jit-compiled.
 
@@ -256,7 +267,7 @@ class LatentDiffusion:
         sample_fn = self._jit_cache[cache_key]
 
         uncond = (
-            self.encode_uncond(noised_sample.shape[0])
+            self.encode_uncond(noised_sample.shape[0], negative_prompt)
             if guidance_scale > 1.0
             else jnp.zeros_like(context_emb)
         )

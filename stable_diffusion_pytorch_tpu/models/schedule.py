@@ -233,6 +233,68 @@ def ddim_step(
     return x_prev, x0
 
 
+def _lambda_of(sched: DiffusionSchedule, t: jnp.ndarray) -> jnp.ndarray:
+    """Half-log-SNR lambda(t) = log(alpha_t / sigma_t) with t < 0 denoting the
+    clean endpoint (alpha=1, sigma=0), represented by a large finite lambda."""
+    abar = jnp.where(t >= 0, sched.alphas_cumprod[jnp.maximum(t, 0)], 1.0 - 1e-8)
+    alpha = jnp.sqrt(abar)
+    sigma = jnp.sqrt(1.0 - abar)
+    return jnp.log(alpha / jnp.maximum(sigma, 1e-8))
+
+
+def dpmpp_2m_step(
+    sched: DiffusionSchedule,
+    pred_noise: jnp.ndarray,
+    x_t: jnp.ndarray,
+    time_step: jnp.ndarray,
+    prev_time_step: jnp.ndarray,
+    x0_prev: jnp.ndarray,
+    last_time_step: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One DPM-Solver++(2M) step (Lu et al. 2022, data-prediction multistep).
+
+    A second-order deterministic solver: ~20-25 steps reach DDIM-50 quality.
+    The reference has nothing beyond the DDPM posterior; this is a capability
+    extension. Arguments:
+    - ``time_step``/``prev_time_step``: current t_i and target t_{i+1}
+      (descending; -1 denotes the clean endpoint),
+    - ``x0_prev``: the data prediction from the PREVIOUS solver step,
+    - ``last_time_step``: t_{i-1} (the step before ``time_step``; pass a value
+      >= noise_steps to mark the first step, which falls back to first order).
+    Returns (x_next, x0_cur) — feed ``x0_cur`` back as the next ``x0_prev``.
+    """
+    t = time_step
+    t_next = prev_time_step
+    t_last = last_time_step
+
+    x0_cur = pred_x0_from_eps(sched, x_t, pred_noise, t)
+
+    lam_cur = _lambda_of(sched, t)
+    lam_next = _lambda_of(sched, t_next)
+    lam_last = _lambda_of(sched, jnp.minimum(t_last, sched.noise_steps - 1))
+
+    h = lam_next - lam_cur
+    h_last = lam_cur - lam_last
+
+    first = t_last >= sched.noise_steps
+    r = jnp.where(first, 1.0, h_last / jnp.where(h == 0, 1.0, h))
+    # 2M data combination; first step degenerates to first order (D = x0_cur)
+    coef = jnp.where(first, 0.0, 1.0 / (2.0 * jnp.maximum(jnp.abs(r), 1e-8)) * jnp.sign(r))
+    D = (1.0 + coef) * x0_cur.astype(jnp.float32) - coef * x0_prev.astype(jnp.float32)
+
+    abar_next = jnp.where(t_next >= 0, sched.alphas_cumprod[jnp.maximum(t_next, 0)], 1.0)
+    abar_cur = sched.alphas_cumprod[t]
+    alpha_next = jnp.sqrt(abar_next)
+    sigma_next = jnp.sqrt(jnp.maximum(1.0 - abar_next, 0.0))
+    sigma_cur = jnp.sqrt(jnp.maximum(1.0 - abar_cur, 1e-16))
+
+    x_next = (
+        (sigma_next / sigma_cur).astype(x_t.dtype) * x_t
+        + (alpha_next * -jnp.expm1(-h)).astype(x_t.dtype) * D.astype(x_t.dtype)
+    )
+    return x_next, x0_cur
+
+
 def spaced_timesteps(noise_steps: int, num_inference_steps: int) -> jnp.ndarray:
     """Evenly spaced descending timestep subsequence for few-step sampling.
 

@@ -120,9 +120,8 @@ def _flash_fwd(q, k, v, scale, interpret):
     return _flash_fwd_impl(q, k, v, scale, interpret), (q, k, v)
 
 
-def _flash_bwd(scale, interpret, res, do):
-    q, k, v = res
-    # recompute attention probabilities in f32 (XLA path) for exact gradients
+def xla_attention_bwd(q, k, v, do, scale):
+    """Reference einsum gradients (materializes [B,H,N,M] scores in f32)."""
     s = jnp.einsum("bnhd,bmhd->bhnm", q, k, preferred_element_type=jnp.float32)
     s = s * scale
     p = jax.nn.softmax(s, axis=-1)
@@ -134,6 +133,22 @@ def _flash_bwd(scale, interpret, res, do):
     dq = jnp.einsum("bhnm,bmhd->bnhd", ds, k.astype(jnp.float32)) * scale
     dk = jnp.einsum("bhnm,bnhd->bmhd", ds, q.astype(jnp.float32)) * scale
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+
+def _flash_bwd(scale, interpret, res, do):
+    q, k, v = res
+    import os
+
+    if os.environ.get("SD_FLASH_BWD", "pallas") == "xla":
+        return xla_attention_bwd(q, k, v, do, scale)
+    from stable_diffusion_pytorch_tpu.ops.flash_attention_bwd import (
+        flash_attention_bwd,
+    )
+
+    # 64: the dkv kernel's f32 score/derivative tiles at 128x4096 overflow the
+    # 16MB VMEM by ~56KB for SD's 4096-token self-attention; 64 fits with room
+    block_n = int(os.environ.get("SD_FLASH_BWD_BLOCK_N", "64"))
+    return flash_attention_bwd(q, k, v, do, scale, interpret, block_n=block_n)
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)

@@ -31,11 +31,18 @@ class SamplingConfig(BaseConfig):
     """CLI group for the txt2img entry point."""
 
     prompt: str = field(default="a cat", metadata={"help": "text prompt to sample."})
+    negative_prompt: str = field(
+        default="",
+        metadata={"help": "negative prompt used as the CFG unconditional branch."},
+    )
     image_size: int = field(default=64, metadata={"help": "output image resolution."})
     sampling_steps: int = field(default=50, metadata={"help": "number of denoising steps."})
     sampler: str = field(
         default="ddim",
-        metadata={"help": "sampling algorithm.", "choices": ["ddim", "ddpm"]},
+        metadata={
+            "help": "sampling algorithm (dpmpp = DPM-Solver++ 2M, ~20 steps for DDIM-50 quality).",
+            "choices": ["ddim", "ddpm", "dpmpp"],
+        },
     )
     eta: float = field(default=0.0, metadata={"help": "DDIM eta (0 = deterministic)."})
     num_images: int = field(default=1, metadata={"help": "batch of images to sample."})
@@ -61,6 +68,7 @@ def sample(
     repeat_noise: bool = False,
     seed: int = 42,
     name: str = "txt2img",
+    negative_prompt: str = "",
 ) -> List[np.ndarray]:
     """Sample image(s) for a prompt; returns HWC uint8 arrays and saves PNGs.
 
@@ -89,6 +97,7 @@ def sample(
         eta=eta,
         repeat_noise=repeat_noise,
         key=k_loop,
+        negative_prompt=negative_prompt,
     )
     images = model.decode_latent(x_0)
     images = np.asarray(images.astype(jnp.float32))

@@ -1,0 +1,137 @@
+"""Fréchet distance (FID) evaluation utilities.
+
+BASELINE.json's north star requires "FID parity vs the PyTorch reference".
+This module provides the full FID computation pipeline:
+
+- :func:`frechet_distance`: |mu1-mu2|^2 + Tr(S1 + S2 - 2 (S1 S2)^(1/2)) with the
+  matrix square root computed by eigendecomposition (no scipy dependency).
+- :func:`compute_statistics` / :func:`fid_from_features`: fit Gaussians to
+  feature batches and compare.
+- feature extractors: the canonical FID uses InceptionV3 pool3 features
+  (:class:`InceptionFeatureExtractor`, which loads locally cached torchvision
+  weights — unavailable in zero-egress environments); :class:`VAEFeatureExtractor`
+  uses this framework's VAE encoder moments as an offline proxy metric
+  (clearly labeled ``fid_vae`` — proxy numbers are NOT comparable to Inception
+  FID, but track the same distributional drift for regression testing).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Iterable, Tuple
+
+import numpy as np
+
+
+def compute_statistics(features: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """features [N, D] -> (mean [D], covariance [D, D])."""
+    features = np.asarray(features, np.float64)
+    mu = features.mean(axis=0)
+    sigma = np.cov(features, rowvar=False)
+    return mu, np.atleast_2d(sigma)
+
+
+def _sqrtm_psd(mat: np.ndarray, eps: float = 1e-10) -> np.ndarray:
+    """Matrix square root of a (near-)PSD symmetric matrix via eigh."""
+    sym = (mat + mat.T) / 2.0
+    vals, vecs = np.linalg.eigh(sym)
+    vals = np.clip(vals, 0.0, None)
+    return (vecs * np.sqrt(vals + eps)) @ vecs.T
+
+
+def frechet_distance(
+    mu1: np.ndarray, sigma1: np.ndarray, mu2: np.ndarray, sigma2: np.ndarray
+) -> float:
+    """FID between N(mu1, S1) and N(mu2, S2).
+
+    Tr((S1 S2)^(1/2)) is computed as Tr((S1^(1/2) S2 S1^(1/2))^(1/2)) which is
+    symmetric-PSD and therefore safe for eigh.
+    """
+    diff = mu1 - mu2
+    s1_half = _sqrtm_psd(sigma1)
+    covmean = _sqrtm_psd(s1_half @ sigma2 @ s1_half)
+    return float(diff @ diff + np.trace(sigma1) + np.trace(sigma2) - 2.0 * np.trace(covmean))
+
+
+def fid_from_features(feats_a: np.ndarray, feats_b: np.ndarray) -> float:
+    return frechet_distance(*compute_statistics(feats_a), *compute_statistics(feats_b))
+
+
+class VAEFeatureExtractor:
+    """Offline proxy features: flattened VAE posterior means, spatially pooled.
+
+    images: [B, H, W, 3] in [-1, 1] -> features [B, 4 * pool * pool].
+    """
+
+    name = "fid_vae"
+
+    def __init__(self, vae_module, vae_params, pool: int = 4):
+        import jax
+
+        self.pool = pool
+
+        def _extract(params, img):
+            posterior = vae_module.apply(params, img, method=vae_module.encode)
+            mean = posterior.latent_dist.mean  # [B, h, w, C]
+            b, h, w, c = mean.shape
+            ph = max(h // pool, 1)
+            mean = mean[:, : ph * pool, : ph * pool, :]
+            mean = mean.reshape(b, pool, ph, pool, ph, c).mean(axis=(2, 4))
+            return mean.reshape(b, -1)
+
+        self._fn = jax.jit(_extract)
+        self._params = vae_params
+
+    def __call__(self, images) -> np.ndarray:
+        import jax.numpy as jnp
+
+        return np.asarray(self._fn(self._params, jnp.asarray(images)), np.float64)
+
+
+class InceptionFeatureExtractor:
+    """Canonical InceptionV3 pool3 features via torchvision (local cache only)."""
+
+    name = "fid_inception"
+
+    def __init__(self):
+        try:
+            import torch
+            from torchvision.models import Inception_V3_Weights, inception_v3
+        except ImportError as e:
+            raise ImportError("torchvision is required for Inception FID") from e
+        import os
+
+        os.environ.setdefault("TORCH_HOME", "data/pretrained/torch")
+        self._torch = torch
+        self.model = inception_v3(weights=Inception_V3_Weights.IMAGENET1K_V1)
+        self.model.fc = torch.nn.Identity()
+        self.model.eval()
+
+    def __call__(self, images) -> np.ndarray:
+        torch = self._torch
+        x = np.asarray(images, np.float32)  # [B,H,W,3] in [-1,1]
+        x = np.transpose(x, (0, 3, 1, 2))
+        with torch.no_grad():
+            t = torch.from_numpy(x)
+            t = torch.nn.functional.interpolate(
+                t, size=(299, 299), mode="bilinear", align_corners=False
+            )
+            feats = self.model(t)
+        return feats.numpy().astype(np.float64)
+
+
+def fid_between(
+    extractor: Callable[[np.ndarray], np.ndarray],
+    images_a: Iterable[np.ndarray],
+    images_b: Iterable[np.ndarray],
+    batch_size: int = 16,
+) -> float:
+    """Compute FID between two image collections ([H,W,3] arrays in [-1,1])."""
+
+    def featurize(images) -> np.ndarray:
+        images = list(images)
+        out = []
+        for i in range(0, len(images), batch_size):
+            out.append(extractor(np.stack(images[i : i + batch_size])))
+        return np.concatenate(out)
+
+    return fid_from_features(featurize(images_a), featurize(images_b))

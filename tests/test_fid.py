@@ -1,0 +1,71 @@
+"""FID math + extractor tests."""
+
+import numpy as np
+import pytest
+
+from stable_diffusion_pytorch_tpu.utils.fid import (
+    VAEFeatureExtractor,
+    compute_statistics,
+    fid_between,
+    fid_from_features,
+    frechet_distance,
+)
+
+
+def test_fid_identical_distributions_is_zero():
+    rng = np.random.default_rng(0)
+    feats = rng.standard_normal((2000, 8))
+    assert abs(fid_from_features(feats, feats.copy())) < 1e-6
+
+
+def test_fid_mean_shift_quadratic():
+    """For equal covariances, FID == |mu1 - mu2|^2."""
+    rng = np.random.default_rng(1)
+    a = rng.standard_normal((200000, 4))
+    shift = np.array([1.0, 0.0, -2.0, 0.5])
+    b = a + shift
+    fid = fid_from_features(a, b)
+    np.testing.assert_allclose(fid, shift @ shift, rtol=1e-2)
+
+
+def test_fid_scale_difference_positive():
+    rng = np.random.default_rng(2)
+    a = rng.standard_normal((5000, 6))
+    b = rng.standard_normal((5000, 6)) * 2.0
+    assert fid_from_features(a, b) > 0.5
+
+
+def test_frechet_distance_symmetry():
+    rng = np.random.default_rng(3)
+    a = rng.standard_normal((3000, 5))
+    b = rng.standard_normal((3000, 5)) * 1.5 + 0.3
+    s_a, s_b = compute_statistics(a), compute_statistics(b)
+    d_ab = frechet_distance(*s_a, *s_b)
+    d_ba = frechet_distance(*s_b, *s_a)
+    np.testing.assert_allclose(d_ab, d_ba, rtol=1e-6)
+
+
+def test_vae_feature_extractor_and_fid_between():
+    import jax
+    import jax.numpy as jnp
+
+    from stable_diffusion_pytorch_tpu.models.autoencoder import (
+        AutoEncoderKL,
+        AutoencoderConfig,
+    )
+
+    vae = AutoEncoderKL.from_config(
+        AutoencoderConfig(autoencoder_channels_list=[8, 16], groups=4)
+    )
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+    extractor = VAEFeatureExtractor(vae, params, pool=2)
+
+    rng = np.random.default_rng(0)
+    imgs_a = [rng.uniform(-1, 1, (16, 16, 3)).astype(np.float32) for _ in range(8)]
+    imgs_b = [img * 0.2 for img in imgs_a]
+    feats = extractor(np.stack(imgs_a))
+    assert feats.shape == (8, 2 * 2 * 4)
+    fid_same = fid_between(extractor, imgs_a, imgs_a, batch_size=4)
+    fid_diff = fid_between(extractor, imgs_a, imgs_b, batch_size=4)
+    assert fid_same < 1e-6
+    assert fid_diff > fid_same

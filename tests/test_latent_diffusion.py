@@ -58,7 +58,7 @@ def test_pred_noise_cfg_doubles_batch(tiny):
     assert not np.allclose(np.asarray(eps), np.asarray(plain))
 
 
-@pytest.mark.parametrize("sampler", ["ddim", "ddpm"])
+@pytest.mark.parametrize("sampler", ["ddim", "ddpm", "dpmpp"])
 def test_sample_loop_jits_and_runs(tiny, sampler):
     unet, params, sched, x, ctx = tiny
     fn = jax.jit(

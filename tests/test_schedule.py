@@ -142,6 +142,41 @@ def test_ddim_full_chain_recovers_x0():
     np.testing.assert_allclose(np.asarray(x), np.asarray(x0), rtol=1e-3, atol=1e-3)
 
 
+def test_dpmpp_2m_oracle_recovers_x0():
+    """With a perfect eps oracle the DPM++(2M) chain must land on x0."""
+    cfg = DDPMConfig(noise_steps=100)
+    sched = make_schedule(cfg)
+    rng = np.random.default_rng(7)
+    x0 = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+    noise = jnp.asarray(rng.standard_normal((1, 4, 4, 2)).astype(np.float32))
+    ts = S.spaced_timesteps(100, 10)
+    ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, ts.dtype)])
+    ts_last = jnp.concatenate([jnp.full((1,), 100, ts.dtype), ts[:-1]])
+    x = S.add_noise(sched, x0, noise, jnp.full((1,), ts[0]))
+    x0_prev = jnp.zeros_like(x)
+    for i in range(len(ts)):
+        t = ts[i]
+        eps = (x - sched.sqrt_alpha_bar[t] * x0) / sched.sqrt_1m_alpha_bar[t]
+        x, x0_prev = S.dpmpp_2m_step(
+            sched, eps, x, t, ts_prev[i], x0_prev, ts_last[i]
+        )
+    np.testing.assert_allclose(np.asarray(x), np.asarray(x0), rtol=2e-3, atol=2e-3)
+
+
+def test_dpmpp_first_step_equals_ddim():
+    """DPM++ degenerates to DDIM(eta=0) on the first step."""
+    sched = make_schedule(DDPMConfig(noise_steps=100))
+    rng = np.random.default_rng(8)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, 3)).astype(np.float32))
+    eps = jnp.asarray(rng.standard_normal((2, 4, 4, 3)).astype(np.float32))
+    t, t_prev = jnp.asarray(90), jnp.asarray(80)
+    x_dpm, _ = S.dpmpp_2m_step(
+        sched, eps, x, t, t_prev, jnp.zeros_like(x), jnp.asarray(100)
+    )
+    x_ddim, _ = S.ddim_step(sched, eps, x, t, t_prev)
+    np.testing.assert_allclose(np.asarray(x_dpm), np.asarray(x_ddim), rtol=2e-4, atol=2e-4)
+
+
 def test_beta_schedules():
     for kind in ["linear", "cosine", "cubic"]:
         cfg = DDPMConfig(noise_schedule=kind, noise_steps=100)

@@ -1,0 +1,122 @@
+#!/usr/bin/env python
+"""Training-step throughput bench: SD-1.5-scale UNet fine-tune samples/sec.
+
+Measures the full jitted train step (CLIP encode + q-sample + UNet fwd/bwd with
+the Pallas flash fwd+bwd kernels + AdamW) from cached latents at 512x512-scale
+(64x64x4 latents), the "train_unet samples/sec" driver metric. Prints one JSON
+line like bench.py.
+
+Env: TB_BATCH (8), TB_REPEATS (5), TB_REMAT (0), TB_PRESET (sd15|reference).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+
+from stable_diffusion_pytorch_tpu.utils.platform import (  # noqa: E402
+    enable_compilation_cache,
+    ensure_platform,
+)
+
+ensure_platform()
+enable_compilation_cache()
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+import optax  # noqa: E402
+
+from stable_diffusion_pytorch_tpu.models import presets  # noqa: E402
+from stable_diffusion_pytorch_tpu.models.clip import CLIPTextTransformer  # noqa: E402
+from stable_diffusion_pytorch_tpu.models.schedule import make_schedule  # noqa: E402
+from stable_diffusion_pytorch_tpu.models.unet import UNetModel  # noqa: E402
+from stable_diffusion_pytorch_tpu.trainers.steps import (  # noqa: E402
+    TrainState,
+    make_unet_train_step,
+)
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def main():
+    batch = int(os.environ.get("TB_BATCH", "8"))
+    repeats = int(os.environ.get("TB_REPEATS", "5"))
+    remat = os.environ.get("TB_REMAT", "0") == "1"
+    preset = os.environ.get("TB_PRESET", "sd15")
+
+    dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32
+    unet_cfg = (
+        presets.sd15_unet_config() if preset == "sd15" else presets.reference_unet_config()
+    )
+    lat = 64 if preset == "sd15" else 32
+
+    unet = UNetModel.from_config(4, 32, unet_cfg, dtype=dtype)
+    clip = CLIPTextTransformer(dtype=dtype)
+    schedule = make_schedule(presets.sd15_ddpm_config())
+
+    key = jax.random.PRNGKey(0)
+    latents = jax.random.normal(key, (batch, lat, lat, 4), jnp.float32)
+    ids = jnp.zeros((batch, 77), jnp.int32)
+    uncond = jnp.full((77,), 49407, jnp.int32)
+
+    log(f"backend={jax.default_backend()} batch={batch} latent={lat} remat={remat}")
+    unet_shapes = jax.eval_shape(
+        lambda: unet.init(
+            key, latents[:1].astype(dtype), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 768), dtype),
+        )
+    )
+    unet_params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), unet_shapes
+    )
+    clip_shapes = jax.eval_shape(lambda: clip.init(key, ids[:1]))
+    clip_params = jax.tree_util.tree_map(
+        lambda s: jnp.zeros(s.shape, s.dtype), clip_shapes
+    )
+
+    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-5))
+    train_step, _ = make_unet_train_step(
+        unet, clip, None, schedule, tx, remat=remat
+    )
+    jit_step = jax.jit(train_step, donate_argnums=(0,))
+    state = TrainState.create(unet_params, tx)
+    batch_dict = {"latents": latents, "input_ids": ids}
+
+    log("compiling + warmup...")
+    t0 = time.time()
+    state, metrics = jit_step(state, clip_params, None, batch_dict, uncond, key)
+    float(metrics["loss"])
+    log(f"warmup {time.time() - t0:.1f}s")
+
+    times = []
+    for i in range(repeats):
+        t0 = time.time()
+        state, metrics = jit_step(
+            state, clip_params, None, batch_dict, uncond, jax.random.fold_in(key, i)
+        )
+        float(metrics["loss"])  # host pull forces completion
+        dt = time.time() - t0
+        times.append(dt)
+        log(f"step {i}: {dt * 1e3:.1f} ms -> {batch / dt:.2f} samples/sec")
+
+    times.sort()
+    p50 = times[len(times) // 2]
+    print(
+        json.dumps(
+            {
+                "metric": f"train_unet_{preset}_samples_per_sec_per_chip",
+                "value": round(batch / p50, 4),
+                "unit": "samples/sec/chip",
+                "step_ms_p50": round(p50 * 1e3, 2),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    main()
