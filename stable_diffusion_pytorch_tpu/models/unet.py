@@ -259,7 +259,14 @@ class UNetModel(nn.Module):
 
         # 4. bottleneck: Res + SpatialTransformer + Res (utils.py:100-131)
         mid_groups1 = 2 if self.bottleneck_default_groups else self.groups
-        d_head = mid_ch // self.n_heads
+        # reference quirk kept as architecture: the bottleneck reuses the d_head
+        # computed at the LAST input-block attention (unet.py:194-226 passes the
+        # d_head returned by build_input_blocks), so with the default config the
+        # bottleneck attention runs at d_model 160 inside 320 channels. Falls
+        # back to mid_ch//n_heads when no input-block attention exists.
+        d_head = (
+            d_head_src // self.n_heads if d_head_src else mid_ch // self.n_heads
+        )
         x = ResBlock(
             time_emb_dim=t_dim,
             dropout=self.dropout,
