@@ -21,3 +21,30 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level re-exports (keeps `import stable_diffusion_pytorch_tpu`
+    lightweight)."""
+    lazy = {
+        "load_config": ("stable_diffusion_pytorch_tpu.config", "load_config"),
+        "build_models": ("stable_diffusion_pytorch_tpu.models.build", "build_models"),
+        "LatentDiffusion": (
+            "stable_diffusion_pytorch_tpu.models.latent_diffusion",
+            "LatentDiffusion",
+        ),
+        "UNetModel": ("stable_diffusion_pytorch_tpu.models.unet", "UNetModel"),
+        "AutoEncoderKL": (
+            "stable_diffusion_pytorch_tpu.models.autoencoder",
+            "AutoEncoderKL",
+        ),
+        "CLIPModel": ("stable_diffusion_pytorch_tpu.models.clip", "CLIPModel"),
+        "make_schedule": ("stable_diffusion_pytorch_tpu.models.schedule", "make_schedule"),
+        "sample": ("stable_diffusion_pytorch_tpu.pipeline", "sample"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module {__name__!r} has no attribute {name!r}")

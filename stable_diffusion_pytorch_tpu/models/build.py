@@ -46,6 +46,7 @@ def build_models(
     dtype: jnp.dtype = jnp.float32,
     seed: int = 0,
     init_image_size: int = 64,
+    remat: bool = False,
 ) -> LatentDiffusion:
     """DDPM schedule + UNet + frozen CLIP + AutoEncoderKL -> LatentDiffusion
     (model_utils.py:29-49). Params are initialized here (spatial dims of the
@@ -61,6 +62,7 @@ def build_models(
         model_cfg.unet,
         compat=compat,
         dtype=dtype,
+        remat=remat,
     )
     autoencoder = AutoEncoderKL.from_config(model_cfg.autoencoder, compat=compat, dtype=dtype)
     text_encoder = CLIPModel(model_cfg.clip, dtype=dtype)

@@ -154,6 +154,7 @@ class UNetModel(nn.Module):
     context_dim: int = 768
     flipped_time_embedding: bool = False
     bottleneck_default_groups: bool = False
+    remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
     @classmethod
@@ -164,6 +165,7 @@ class UNetModel(nn.Module):
         cfg: UnetConfig,
         compat=None,
         dtype: jnp.dtype = jnp.float32,
+        remat: bool = False,
     ) -> "UNetModel":
         return cls(
             latent_channels=latent_channels,
@@ -180,6 +182,7 @@ class UNetModel(nn.Module):
             bottleneck_default_groups=bool(
                 compat and compat.bottleneck_default_groups
             ),
+            remat=remat,
             dtype=dtype,
         )
 
@@ -189,8 +192,20 @@ class UNetModel(nn.Module):
             time_steps, self.channels_list[0], flipped=self.flipped_time_embedding
         )
 
-    def _spatial_transformer(self, ch: int, name: str) -> SpatialTransformer:
-        return SpatialTransformer(
+    def _block_classes(self):
+        """Per-block rematerialization (jax.checkpoint lifted onto each
+        ResBlock/SpatialTransformer): the backward pass recomputes one block at
+        a time, so peak activation memory drops to ~one block instead of the
+        whole network. Whole-function remat does NOT achieve this (measured:
+        batch-16 training still OOM'd HBM with it)."""
+        if not self.remat:
+            return ResBlock, SpatialTransformer
+        res = nn.remat(ResBlock, static_argnums=(3,))
+        attn = nn.remat(SpatialTransformer, static_argnums=(3,))
+        return res, attn
+
+    def _spatial_transformer(self, ch: int, name: str, cls=SpatialTransformer):
+        return cls(
             in_channels=ch,
             n_heads=self.n_heads,
             d_head=ch // self.n_heads,
@@ -234,6 +249,8 @@ class UNetModel(nn.Module):
             attn_mult,
         )
 
+        res_cls, attn_cls = self._block_classes()
+
         # 2. conv_in (unet.py:190; utils.py:31-32)
         x = conv3x3(ch0, dtype=self.dtype, name="conv_in")(x)
         skips = [x]
@@ -242,16 +259,16 @@ class UNetModel(nn.Module):
         for i, block in enumerate(in_plan):
             if block[0] == "res":
                 _, _, oc, attn = block
-                x = ResBlock(
+                x = res_cls(
                     out_channels=oc,
                     time_emb_dim=t_dim,
                     groups=self.groups,
                     dtype=self.dtype,
                     name=f"in_{i}_res",
-                )(x, t_emb, deterministic=deterministic)
+                )(x, t_emb, deterministic)
                 if attn:
-                    x = self._spatial_transformer(oc, f"in_{i}_attn")(
-                        x, context_emb, deterministic=deterministic
+                    x = self._spatial_transformer(oc, f"in_{i}_attn", attn_cls)(
+                        x, context_emb, deterministic
                     )
             else:  # down
                 x = DownSample(dtype=self.dtype, name=f"in_{i}_down")(x)
@@ -267,14 +284,14 @@ class UNetModel(nn.Module):
         d_head = (
             d_head_src // self.n_heads if d_head_src else mid_ch // self.n_heads
         )
-        x = ResBlock(
+        x = res_cls(
             time_emb_dim=t_dim,
             dropout=self.dropout,
             groups=mid_groups1,
             dtype=self.dtype,
             name="mid_res1",
-        )(x, t_emb, deterministic=deterministic)
-        x = SpatialTransformer(
+        )(x, t_emb, deterministic)
+        x = attn_cls(
             in_channels=mid_ch,
             n_heads=self.n_heads,
             d_head=d_head,
@@ -284,29 +301,29 @@ class UNetModel(nn.Module):
             groups=self.groups,
             dtype=self.dtype,
             name="mid_attn",
-        )(x, context_emb, deterministic=deterministic)
-        x = ResBlock(
+        )(x, context_emb, deterministic)
+        x = res_cls(
             time_emb_dim=t_dim,
             dropout=self.dropout,
             groups=self.groups,
             dtype=self.dtype,
             name="mid_res2",
-        )(x, t_emb, deterministic=deterministic)
+        )(x, t_emb, deterministic)
 
         # 5. output blocks with skip concat (unet.py:306-309)
         for i, (_, _, oc, attn, upsample) in enumerate(out_plan):
             x = jnp.concatenate([x, skips.pop()], axis=-1)
-            x = ResBlock(
+            x = res_cls(
                 out_channels=oc,
                 time_emb_dim=t_dim,
                 dropout=self.dropout,
                 groups=self.groups,
                 dtype=self.dtype,
                 name=f"out_{i}_res",
-            )(x, t_emb, deterministic=deterministic)
+            )(x, t_emb, deterministic)
             if attn:
-                x = self._spatial_transformer(oc, f"out_{i}_attn")(
-                    x, context_emb, deterministic=deterministic
+                x = self._spatial_transformer(oc, f"out_{i}_attn", attn_cls)(
+                    x, context_emb, deterministic
                 )
             if upsample:
                 x = UpSample(dtype=self.dtype, name=f"out_{i}_up")(x)

@@ -55,7 +55,7 @@ def make_unet_train_step(
     reference_cfg_formula: bool = False,
     cfg_dropout_prob: float = 0.1,
     whole_batch_cfg_dropout: bool = False,
-    remat: bool = False,
+    remat: bool = False,  # deprecated: per-block remat lives in UNetModel(remat=True)
 ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for latent-diffusion fine-tuning.
 
@@ -75,9 +75,10 @@ def make_unet_train_step(
       single conditional forward.
     - loss: MSE(pred, noise) in float32 (train_unet.py:529).
     """
+    # NOTE: whole-function jax.checkpoint here does NOT reduce peak memory (the
+    # backward recompute rematerializes every residual at once; measured OOM at
+    # batch 16). Use UNetModel(remat=True) for per-block rematerialization.
     unet_apply = unet_module.apply
-    if remat:
-        unet_apply = jax.checkpoint(unet_apply)
 
     pred_noise = make_pred_noise_fn(
         unet_module,

@@ -54,7 +54,7 @@ def main():
     )
     lat = 64 if preset == "sd15" else 32
 
-    unet = UNetModel.from_config(4, 32, unet_cfg, dtype=dtype)
+    unet = UNetModel.from_config(4, 32, unet_cfg, dtype=dtype, remat=remat)
     clip = CLIPTextTransformer(dtype=dtype)
     schedule = make_schedule(presets.sd15_ddpm_config())
 
@@ -79,9 +79,7 @@ def main():
     )
 
     tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-5))
-    train_step, _ = make_unet_train_step(
-        unet, clip, None, schedule, tx, remat=remat
-    )
+    train_step, _ = make_unet_train_step(unet, clip, None, schedule, tx)
     jit_step = jax.jit(train_step, donate_argnums=(0,))
     state = TrainState.create(unet_params, tx)
     batch_dict = {"latents": latents, "input_ids": ids}
