@@ -69,5 +69,17 @@ def put_replicated(mesh: Mesh, pytree):
 
 
 def put_batch(mesh: Mesh, batch):
-    """Place a host batch on the mesh, sharded along axis 0."""
-    return jax.device_put(batch, data_sharded(mesh))
+    """Place a host batch on the mesh, sharded along axis 0.
+
+    Single-process: a plain device_put. Multi-host pods: each process passes its
+    LOCAL rows (global_batch / process_count) and the global array is assembled
+    with ``make_array_from_process_local_data`` — the jax-native analog of the
+    per-rank DataLoader sharding Accelerate does in the reference
+    (train_unet.py:170-182).
+    """
+    sharding = data_sharded(mesh)
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+    )

@@ -66,6 +66,13 @@ class TrainConfig(BaseConfig):
     guidance_scale: float = field(
         default=7.5, metadata={"help": "guidance scale for classifier free guidance"}
     )
+    ema_decay: float = field(
+        default=0.0,
+        metadata={
+            "help": "EMA decay for shadow model weights (0 disables; standard SD "
+            "practice is 0.9999). EMA params are saved in checkpoints."
+        },
+    )
 
 
 @dataclass

@@ -73,23 +73,31 @@ class Trainer:
         self.num_devices = self.mesh.devices.size
         self.dtype = resolve_dtype(cfg.parallel.mixed_precision)
 
-        # per-processor batch size semantics (train_unet.py:320-324)
+        # per-processor batch size semantics (train_unet.py:320-324); on a
+        # multi-host pod each process loads its own disjoint shard of rows
+        from stable_diffusion_pytorch_tpu.parallel.distributed import host_shard_info
+
+        shard_id, num_shards = host_shard_info()
         self.global_train_batch = cfg.train.train_batch_size * self.num_devices
         self.global_eval_batch = cfg.train.eval_batch_size * self.num_devices
 
         self.train_loader = DataLoader(
             train_dataset,
-            batch_size=self.global_train_batch,
+            batch_size=self.global_train_batch // num_shards,
             shuffle=True,
             seed=cfg.train.seed,
             collate=train_collate,
+            shard_id=shard_id,
+            num_shards=num_shards,
         )
         self.eval_loader = (
             DataLoader(
                 eval_dataset,
-                batch_size=self.global_eval_batch,
+                batch_size=self.global_eval_batch // num_shards,
                 shuffle=False,
                 seed=cfg.train.seed,
+                shard_id=shard_id,
+                num_shards=num_shards,
             )
             if eval_dataset is not None
             else None
@@ -137,15 +145,21 @@ class Trainer:
             if self.cfg.parallel.shard_optimizer_state
             else replicate(state.opt_state)
         )
+        fsdp = getattr(self.cfg.parallel, "shard_params", False)
         param_sharding = (
             mesh_lib.zero_shardings(self.mesh, state.params)
-            if getattr(self.cfg.parallel, "shard_params", False)
+            if fsdp
             else replicate(state.params)
         )
+        ema = state.ema_params
+        if ema is not None:
+            # EMA shadows shard like the ZeRO state: pure per-step elementwise
+            ema = jax.device_put(ema, mesh_lib.zero_shardings(self.mesh, ema))
         return TrainState(
             step=jax.device_put(state.step, mesh_lib.replicated(self.mesh)),
             params=jax.device_put(state.params, param_sharding),
             opt_state=jax.device_put(state.opt_state, opt_sharding),
+            ema_params=ema,
         )
 
     def _place_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
@@ -330,12 +344,16 @@ class UNetTrainer(Trainer):
             reference_cfg_formula=bool(compat and compat.cfg_formula),
             cfg_dropout_prob=0.1,
             whole_batch_cfg_dropout=bool(compat and compat.reference_compat),
-            remat=cfg.parallel.remat_policy != "none",
+            ema_decay=cfg.train.ema_decay,
         )
         self._jit_train = jax.jit(train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(eval_step)
 
-        self.state = self._place_state(TrainState.create(model.unet_params, self.tx))
+        self.state = self._place_state(
+            TrainState.create(
+                model.unet_params, self.tx, with_ema=cfg.train.ema_decay > 0
+            )
+        )
         self.clip_params = mesh_lib.put_replicated(self.mesh, model.text_encoder.params)
         self.vae_params = mesh_lib.put_replicated(self.mesh, model.autoencoder_params)
         uncond = model.text_encoder.tokenize([""]).input_ids[0]
@@ -397,11 +415,14 @@ class AutoencoderTrainer(Trainer):
             self.tx,
             kl_weight=self.cfg.model.autoencoder.kl_weight,
             kl_per_example0=bool(self.compat and self.compat.kl_per_example0),
+            ema_decay=self.cfg.train.ema_decay,
         )
         self._jit_train = jax.jit(train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(eval_step)
         self.state = self._place_state(
-            TrainState.create(self.init_vae_params, self.tx)
+            TrainState.create(
+                self.init_vae_params, self.tx, with_ema=self.cfg.train.ema_decay > 0
+            )
         )
 
     def _train_step(self, batch, key):

@@ -29,6 +29,11 @@ def _main(argv=None):
     ensure_platform()
     enable_compilation_cache()
 
+    # multi-host pods: join the global runtime (no-op single host)
+    from stable_diffusion_pytorch_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
+
     import jax
 
     from stable_diffusion_pytorch_tpu.config import compat_from_cfg, load_config

@@ -34,6 +34,11 @@ def _main(argv=None):
     ensure_platform()
     enable_compilation_cache()
 
+    # multi-host pods: join the global runtime (no-op single host)
+    from stable_diffusion_pytorch_tpu.parallel.distributed import maybe_initialize
+
+    maybe_initialize()
+
     from stable_diffusion_pytorch_tpu.config import compat_from_cfg, load_config
     from stable_diffusion_pytorch_tpu.models.build import build_models, resolve_dtype
     from stable_diffusion_pytorch_tpu.trainers.trainer import UNetTrainer
