@@ -145,10 +145,14 @@ def _flash_bwd(scale, interpret, res, do):
         flash_attention_bwd,
     )
 
-    # 64: the dkv kernel's f32 score/derivative tiles at 128x4096 overflow the
-    # 16MB VMEM by ~56KB for SD's 4096-token self-attention; 64 fits with room
-    block_n = int(os.environ.get("SD_FLASH_BWD_BLOCK_N", "64"))
-    return flash_attention_bwd(q, k, v, do, scale, interpret, block_n=block_n)
+    # dkv 64: its four f32 derivative tiles at 128x4096 overflow 16MB VMEM by
+    # ~56KB for SD's 4096-token self-attention; dq has no scratch accumulators
+    # and affords 128-row tiles
+    dkv_block = int(os.environ.get("SD_FLASH_BWD_BLOCK_N", "64"))
+    dq_block = int(os.environ.get("SD_FLASH_BWD_DQ_BLOCK_N", "128"))
+    return flash_attention_bwd(
+        q, k, v, do, scale, interpret, block_n=dkv_block, dq_block_n=dq_block
+    )
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)

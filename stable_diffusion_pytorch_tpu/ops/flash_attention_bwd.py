@@ -98,17 +98,28 @@ def flash_attention_bwd(
     do: jnp.ndarray,
     scale: float,
     interpret: bool,
-    block_n: int = 256,
+    block_n: int = 64,
+    dq_block_n: int = 0,
 ):
-    """Returns (dq, dk, dv) with the [B, L, H, D] layout of the forward."""
+    """Returns (dq, dk, dv) with the [B, L, H, D] layout of the forward.
+
+    ``block_n`` tiles the dkv kernel; ``dq_block_n`` (defaults to block_n) tiles
+    the dq kernel, which has no scratch accumulators and can afford larger tiles.
+    Both q paddings use the lcm so one padded layout serves both kernels.
+    """
     b, n, h, d = q.shape
     m = k.shape[1]
     dtype = q.dtype
 
     d_pad = _round_up(d, LANE)
     m_pad = _round_up(m, LANE)
+    dq_block_n = dq_block_n or block_n
     block_n = min(block_n, _round_up(n, 16))
-    n_pad = _round_up(n, block_n)
+    dq_block_n = min(dq_block_n, _round_up(n, 16))
+    n_pad = _round_up(n, max(block_n, dq_block_n))
+    # both block sizes must divide n_pad
+    while n_pad % block_n or n_pad % dq_block_n:
+        n_pad += max(block_n, dq_block_n)
 
     def to_bhnd(x, length, length_pad):
         x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, length, d)
@@ -121,14 +132,14 @@ def flash_attention_bwd(
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=scale, kv_len=m),
-        grid=(b * h, n_pad // block_n),
+        grid=(b * h, n_pad // dq_block_n),
         in_specs=[
-            pl.BlockSpec((1, block_n, d_pad), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, dq_block_n, d_pad), lambda bh, i: (bh, i, 0)),
             pl.BlockSpec((1, m_pad, d_pad), lambda bh, i: (bh, 0, 0)),
             pl.BlockSpec((1, m_pad, d_pad), lambda bh, i: (bh, 0, 0)),
-            pl.BlockSpec((1, block_n, d_pad), lambda bh, i: (bh, i, 0)),
+            pl.BlockSpec((1, dq_block_n, d_pad), lambda bh, i: (bh, i, 0)),
         ],
-        out_specs=pl.BlockSpec((1, block_n, d_pad), lambda bh, i: (bh, i, 0)),
+        out_specs=pl.BlockSpec((1, dq_block_n, d_pad), lambda bh, i: (bh, i, 0)),
         out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), dtype),
         interpret=interpret,
     )(qb, kb, vb, dob)

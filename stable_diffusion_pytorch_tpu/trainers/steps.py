@@ -121,6 +121,20 @@ def make_unet_train_step(
         timesteps = jax.random.randint(k_t, (bsz,), 0, schedule.noise_steps)
         x_t = sched_lib.add_noise(schedule, latents, noise, timesteps)
 
+        if "context_emb" in batch:
+            # cached text embeddings (latent-cache pipeline): no CLIP forward;
+            # ``uncond_ids`` carries the cached uncond EMBEDDING [S, D] here
+            context = batch["context_emb"]
+            uncond_row = uncond_ids.astype(context.dtype)
+            uncond_bcast = jnp.broadcast_to(uncond_row[None], context.shape)
+            if whole_batch_cfg_dropout:
+                drop = jax.random.uniform(k_drop, ()) < cfg_dropout_prob
+            else:
+                drop = jax.random.uniform(k_drop, (bsz, 1, 1)) < cfg_dropout_prob
+            context = jnp.where(drop, uncond_bcast, context)
+            uncond_emb = uncond_bcast if train_with_cfg else None
+            return x_t, timesteps, context, uncond_emb, noise
+
         # empty-prompt dropout on token ids (before the text encoder so the
         # encode is a single batched forward)
         input_ids = batch["input_ids"]

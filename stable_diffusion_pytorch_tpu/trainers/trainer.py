@@ -356,19 +356,28 @@ class UNetTrainer(Trainer):
         )
         self.clip_params = mesh_lib.put_replicated(self.mesh, model.text_encoder.params)
         self.vae_params = mesh_lib.put_replicated(self.mesh, model.autoencoder_params)
-        uncond = model.text_encoder.tokenize([""]).input_ids[0]
-        self.uncond_ids = mesh_lib.put_replicated(self.mesh, jnp.asarray(uncond))
+        uncond_tokens = jnp.asarray(model.text_encoder.tokenize([""]).input_ids[0])
+        self.uncond_eval = mesh_lib.put_replicated(self.mesh, uncond_tokens)
+        if getattr(self.train_dataset, "has_text_cache", False):
+            # cached-text pipeline: the train uncond slot carries the "" EMBEDDING
+            # (eval batches are uncached pixels+ids and keep the token path)
+            self.uncond_train = mesh_lib.put_replicated(
+                self.mesh, jnp.asarray(self.train_dataset.uncond_emb)
+            )
+        else:
+            self.uncond_train = self.uncond_eval
 
     def _train_step(self, batch, key):
         self.state, metrics = self._jit_train(
-            self.state, self.clip_params, self.vae_params, batch, self.uncond_ids, key
+            self.state, self.clip_params, self.vae_params, batch,
+            self.uncond_train, key,
         )
         return metrics
 
     def _eval_step(self, batch, key):
         return self._jit_eval(
             self.state.params, self.clip_params, self.vae_params, batch,
-            self.uncond_ids, key,
+            self.uncond_eval, key,
         )
 
     def log_images(self, global_step: int) -> None:

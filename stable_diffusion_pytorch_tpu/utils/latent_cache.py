@@ -31,8 +31,14 @@ def build_latent_cache(
     cache_path: str,
     batch_size: int = 32,
     logger=None,
+    text_encoder=None,
 ) -> str:
-    """Encode every image; store moments + input_ids in one .npz."""
+    """Encode every image; store moments + input_ids in one .npz.
+
+    When ``text_encoder`` (a models.clip.CLIPModel) is given, the CLIP context
+    embeddings and the uncond ("") embedding are cached too (f16), removing the
+    text encoder from the training hot loop entirely.
+    """
     encode = jax.jit(
         lambda params, img: vae_module.apply(
             params, img, method=vae_module.encode
@@ -42,20 +48,32 @@ def build_latent_cache(
         dataset, batch_size=batch_size, shuffle=False, drop_last=False,
         collate=collate_fn,
     )
-    moments_out, ids_out = [], []
+    moments_out, ids_out, ctx_out = [], [], []
     for batch in loader:
         dist = encode(vae_params, jnp.asarray(batch["pixel_values"]))
         moments = jnp.concatenate([dist.mean, dist.log_var], axis=-1)
         moments_out.append(np.asarray(moments.astype(jnp.float32)))
         ids_out.append(batch["input_ids"])
+        if text_encoder is not None:
+            emb = text_encoder.encode_text(batch["input_ids"])
+            ctx_out.append(np.asarray(emb, np.float16))
     moments_np = np.concatenate(moments_out)
     ids_np = np.concatenate(ids_out)
+    arrays = {"moments": moments_np, "input_ids": ids_np}
+    if text_encoder is not None:
+        arrays["context_emb"] = np.concatenate(ctx_out)
+        uncond_ids = text_encoder.tokenize([""]).input_ids
+        arrays["uncond_emb"] = np.asarray(
+            text_encoder.encode_text(uncond_ids)[0], np.float32
+        )
     os.makedirs(os.path.dirname(cache_path) or ".", exist_ok=True)
-    np.savez(cache_path, moments=moments_np, input_ids=ids_np)
+    np.savez(cache_path, **arrays)
     if logger:
+        total_mb = sum(a.nbytes for a in arrays.values()) / 1e6
         logger.info(
-            f"cached {moments_np.shape[0]} latents ({moments_np.nbytes / 1e6:.1f} MB) "
-            f"to {cache_path}"
+            f"cached {moments_np.shape[0]} latents"
+            f"{' + text embeddings' if text_encoder is not None else ''} "
+            f"({total_mb:.1f} MB) to {cache_path}"
         )
     return cache_path
 
@@ -69,8 +87,14 @@ class LatentCacheDataset:
         data = np.load(cache_path)
         self.moments = data["moments"]
         self.input_ids = data["input_ids"]
+        self.context_emb = data["context_emb"] if "context_emb" in data else None
+        self.uncond_emb = data["uncond_emb"] if "uncond_emb" in data else None
         c = self.moments.shape[-1] // 2
         self._latent_channels = c
+
+    @property
+    def has_text_cache(self) -> bool:
+        return self.context_emb is not None
 
     def __len__(self) -> int:
         return self.moments.shape[0]
@@ -81,10 +105,19 @@ class LatentCacheDataset:
         rng = np.random.default_rng(idx)
         eps = rng.standard_normal(mean.shape).astype(np.float32)
         latent = mean + np.exp(0.5 * log_var) * eps
-        return {"latents": latent, "input_ids": self.input_ids[idx]}
+        row = {"latents": latent, "input_ids": self.input_ids[idx]}
+        if self.context_emb is not None:
+            row["context_emb"] = self.context_emb[idx]
+        return row
 
 
 def collate_latents(examples) -> dict:
-    latents = np.stack([e["latents"] for e in examples]).astype(np.float32)
-    input_ids = np.stack([e["input_ids"] for e in examples]).astype(np.int32)
-    return {"latents": latents, "input_ids": input_ids}
+    out = {
+        "latents": np.stack([e["latents"] for e in examples]).astype(np.float32),
+        "input_ids": np.stack([e["input_ids"] for e in examples]).astype(np.int32),
+    }
+    if "context_emb" in examples[0]:
+        out["context_emb"] = np.stack(
+            [e["context_emb"] for e in examples]
+        ).astype(np.float32)
+    return out

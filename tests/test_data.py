@@ -117,6 +117,7 @@ def test_latent_cache_roundtrip(tmp_path):
 
     cached = LatentCacheDataset(path)
     assert len(cached) == 6
+    assert not cached.has_text_cache
     row = cached[0]
     assert row["latents"].shape == (8, 8, 4)  # 16/f2, latent 4
     assert row["input_ids"].shape == (77,)
@@ -124,6 +125,54 @@ def test_latent_cache_roundtrip(tmp_path):
     batch = next(iter(dl))
     assert batch["latents"].shape == (2, 8, 8, 4)
     assert batch["input_ids"].shape == (2, 77)
+
+
+def test_latent_cache_with_text_embeddings(tmp_path):
+    import jax
+    import jax.numpy as jnp
+
+    from stable_diffusion_pytorch_tpu.models.autoencoder import (
+        AutoEncoderKL,
+        AutoencoderConfig,
+    )
+    from stable_diffusion_pytorch_tpu.utils.latent_cache import (
+        LatentCacheDataset,
+        build_latent_cache,
+        collate_latents,
+    )
+
+    cfg = DatasetConfig(dataset="synthetic", resolution=16)
+    ds = SyntheticTextImageDataset(cfg, "train", HashTokenizer(), num_rows=4)
+    vae = AutoEncoderKL.from_config(
+        AutoencoderConfig(autoencoder_channels_list=[8, 16], groups=4)
+    )
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+
+    class TinyTextEncoder:
+        """Stand-in CLIPModel: deterministic embeddings from token ids."""
+
+        def encode_text(self, ids):
+            ids = jnp.asarray(ids)
+            base = ids[:, :, None].astype(jnp.float32) / 49408.0
+            return jnp.tile(base, (1, 1, 8))
+
+        def tokenize(self, prompts, **kw):
+            import numpy as _np
+            from types import SimpleNamespace
+
+            return SimpleNamespace(
+                input_ids=_np.full((len(prompts), 77), 49407, _np.int32)
+            )
+
+    path = build_latent_cache(
+        vae, params, ds, str(tmp_path / "c.npz"), batch_size=2,
+        text_encoder=TinyTextEncoder(),
+    )
+    cached = LatentCacheDataset(path)
+    assert cached.has_text_cache
+    assert cached.uncond_emb.shape == (77, 8)
+    batch = collate_latents([cached[0], cached[1]])
+    assert batch["context_emb"].shape == (2, 77, 8)
 
 
 def test_device_preprocess_matches_host_semantics():

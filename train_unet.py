@@ -87,6 +87,7 @@ def _main(argv=None):
                 train_dataset,
                 cfg.dataset.latent_cache,
                 logger=logger,
+                text_encoder=model.text_encoder,  # also cache CLIP embeddings
             )
         train_dataset = LatentCacheDataset(cfg.dataset.latent_cache)
         collate = collate_latents
