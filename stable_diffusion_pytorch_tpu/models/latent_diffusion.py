@@ -88,10 +88,20 @@ def make_sample_fn(
     reference_cfg_formula: bool = False,
     ascending_loop: bool = False,
     leading_timesteps: bool = False,
+    strength: float = 1.0,
+    inpaint: bool = False,
 ):
     """Build the jittable reverse-diffusion loop as a single ``lax.scan``.
 
-    Returns ``f(unet_params, x_T, context_emb, uncond_emb, key) -> x_0``.
+    Returns ``f(unet_params, x_T, context_emb, uncond_emb, key) -> x_0``
+    (with ``inpaint=True``: ``f(..., key, mask, init_latents)`` where mask is
+    [B,h,w,1] with 1 = region to generate, 0 = keep; the kept region is
+    re-noised to each step's level and blended in, the standard latent
+    inpainting scheme).
+
+    ``strength < 1`` (img2img) runs only the final ``round(num_steps*strength)``
+    steps of the subsequence — the caller must q-sample its init latents to the
+    FIRST timestep of the truncated schedule (exposed as ``.start_timestep``).
 
     Timesteps: DDIM/DDPM default to the evenly-spaced descending subsequence;
     ``leading_timesteps`` reproduces the reference's few-step quirk (raw steps
@@ -105,6 +115,11 @@ def make_sample_fn(
         ts = sched_lib.leading_timesteps(min(num_steps, schedule.noise_steps))
     else:
         ts = sched_lib.spaced_timesteps(schedule.noise_steps, num_steps)
+
+    if strength < 1.0:
+        keep = max(min(round(num_steps * strength), num_steps), 1)
+        ts = ts[num_steps - keep :]
+        num_steps = keep
     # prev step for DDIM/DPM++: next entry in the descending sequence, -1 at end
     ts_prev = jnp.concatenate([ts[1:], jnp.full((1,), -1, ts.dtype)])
     # step BEFORE each entry for DPM++ multistep; >= noise_steps marks "first"
@@ -119,13 +134,14 @@ def make_sample_fn(
         unet_module, guidance_scale, reference_cfg_formula
     )
 
-    def sample(unet_params, x_T, context_emb, uncond_emb, key):
+    def sample(unet_params, x_T, context_emb, uncond_emb, key,
+               mask=None, init_latents=None):
         bsz = x_T.shape[0]
 
         def body(carry, step):
             x, x0_prev, k = carry
             t, t_prev, t_last = step
-            k, sub = jax.random.split(k)
+            k, sub, k_blend = jax.random.split(k, 3)
             t_batch = jnp.full((bsz,), t, jnp.int32)
             eps = pred_noise(unet_params, x, t_batch, context_emb, uncond_emb)
             if sampler == "ddim":
@@ -146,12 +162,21 @@ def make_sample_fn(
                     repeat_noise=repeat_noise,
                     scale_factor=scale_factor,
                 )
+            if inpaint:
+                # re-noise the KNOWN region to the step we just landed on and
+                # blend; at t_prev < 0 the known region is the clean init
+                noise = jax.random.normal(k_blend, x_next.shape, x_next.dtype)
+                t_prev_b = jnp.full((bsz,), jnp.maximum(t_prev, 0), jnp.int32)
+                known = sched_lib.add_noise(schedule, init_latents, noise, t_prev_b)
+                known = jnp.where(t_prev >= 0, known, init_latents)
+                x_next = mask * x_next + (1.0 - mask) * known
             return (x_next, x0, k), None
 
         init = (x_T, jnp.zeros_like(x_T), key)
         (x_0, _, _), _ = jax.lax.scan(body, init, (ts, ts_prev, ts_last))
         return x_0
 
+    sample.start_timestep = int(ts[0])
     return sample
 
 

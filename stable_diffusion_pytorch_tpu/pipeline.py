@@ -54,6 +54,145 @@ class SamplingConfig(BaseConfig):
     output_name: str = field(default="txt2img", metadata={"help": "basename for saved PNGs."})
 
 
+def _load_image(image, resolution: int) -> np.ndarray:
+    """Accept a path / HWC uint8 array / [-1,1] float array -> [1,H,W,3] float."""
+    from stable_diffusion_pytorch_tpu.utils.data import transform_image
+
+    if isinstance(image, str):
+        from PIL import Image
+
+        image = np.asarray(Image.open(image).convert("RGB"))
+    image = np.asarray(image)
+    if image.dtype == np.uint8:
+        image = transform_image(image, resolution)
+    return image[None].astype(np.float32)
+
+
+def img2img(
+    model: LatentDiffusion,
+    init_image,
+    prompt: str = "",
+    strength: float = 0.75,
+    image_size: int = 64,
+    time_steps: int = 50,
+    guidance_scale: float = 7.5,
+    sampler: str = "ddim",
+    eta: float = 0.0,
+    save_dir: Optional[str] = "output",
+    seed: int = 42,
+    name: str = "img2img",
+    negative_prompt: str = "",
+) -> np.ndarray:
+    """Image-to-image: noise the init image's latent to ``strength`` of the
+    schedule, then denoise the remaining steps (capability beyond the
+    reference). Returns the HWC uint8 result."""
+    import jax
+
+    from stable_diffusion_pytorch_tpu.models.latent_diffusion import make_sample_fn
+
+    key = jax.random.PRNGKey(seed)
+    k_enc, k_noise, k_loop = jax.random.split(key, 3)
+    dtype = model.unet.dtype
+
+    img = jnp.asarray(_load_image(init_image, image_size), dtype)
+    posterior = model.encode_image(img)
+    init_latents = posterior.latent_dist.sample(k_enc)
+
+    fn = make_sample_fn(
+        model.unet,
+        model.noise_scheduler,
+        time_steps,
+        sampler=sampler,
+        guidance_scale=guidance_scale,
+        eta=eta,
+        strength=strength,
+    )
+    from stable_diffusion_pytorch_tpu.models import schedule as sched_lib
+
+    t0 = jnp.full((1,), fn.start_timestep, jnp.int32)
+    noise = jax.random.normal(k_noise, init_latents.shape, dtype)
+    x_t = sched_lib.add_noise(model.noise_scheduler, init_latents, noise, t0)
+
+    ctx = model.encode_prompts([prompt]).astype(dtype)
+    uncond = (
+        model.encode_uncond(1, negative_prompt).astype(dtype)
+        if guidance_scale > 1.0
+        else jnp.zeros_like(ctx)
+    )
+    x_0 = jax.jit(fn)(model.unet_params, x_t, ctx, uncond, k_loop)
+    out = np.asarray(model.decode_latent(x_0).astype(jnp.float32))
+    digit = detransform(out[0])
+    if save_dir is not None:
+        to_img(digit, output_path=save_dir, name=name)
+    return digit
+
+
+def inpaint(
+    model: LatentDiffusion,
+    init_image,
+    mask_image,
+    prompt: str = "",
+    image_size: int = 64,
+    time_steps: int = 50,
+    guidance_scale: float = 7.5,
+    sampler: str = "ddim",
+    save_dir: Optional[str] = "output",
+    seed: int = 42,
+    name: str = "inpaint",
+    negative_prompt: str = "",
+) -> np.ndarray:
+    """Latent inpainting: generate inside the mask (white = repaint), re-noise
+    and keep the rest each step (capability beyond the reference)."""
+    import jax
+
+    from stable_diffusion_pytorch_tpu.models.latent_diffusion import make_sample_fn
+
+    key = jax.random.PRNGKey(seed)
+    k_enc, k_init, k_loop = jax.random.split(key, 3)
+    dtype = model.unet.dtype
+
+    img = jnp.asarray(_load_image(init_image, image_size), dtype)
+    init_latents = model.encode_image(img).latent_dist.sample(k_enc)
+
+    # mask: path / array, any size -> latent-res [1,h,w,1] in {0,1}
+    if isinstance(mask_image, str):
+        from PIL import Image
+
+        mask_image = np.asarray(Image.open(mask_image).convert("L"))
+    mask = np.asarray(mask_image, np.float32)
+    if mask.max() > 1.0:
+        mask = mask / 255.0
+    h, w = init_latents.shape[1:3]
+    import jax.image
+
+    mask = jax.image.resize(jnp.asarray(mask), (h, w), method="nearest")
+    mask = (mask > 0.5).astype(dtype)[None, :, :, None]
+
+    fn = make_sample_fn(
+        model.unet,
+        model.noise_scheduler,
+        time_steps,
+        sampler=sampler,
+        guidance_scale=guidance_scale,
+        inpaint=True,
+    )
+    noise = jax.random.normal(k_init, init_latents.shape, dtype)
+    ctx = model.encode_prompts([prompt]).astype(dtype)
+    uncond = (
+        model.encode_uncond(1, negative_prompt).astype(dtype)
+        if guidance_scale > 1.0
+        else jnp.zeros_like(ctx)
+    )
+    x_0 = jax.jit(fn)(
+        model.unet_params, noise, ctx, uncond, k_loop, mask, init_latents
+    )
+    out = np.asarray(model.decode_latent(x_0).astype(jnp.float32))
+    digit = detransform(out[0])
+    if save_dir is not None:
+        to_img(digit, output_path=save_dir, name=name)
+    return digit
+
+
 def sample(
     model: LatentDiffusion,
     image_size: int = 64,
