@@ -18,12 +18,10 @@ TPU-first re-design of the reverse loop:
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from stable_diffusion_pytorch_tpu.models import schedule as sched_lib
 from stable_diffusion_pytorch_tpu.models.schedule import DiffusionSchedule

@@ -20,7 +20,6 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from stable_diffusion_pytorch_tpu.models.blocks import GaussianDistribution
 from stable_diffusion_pytorch_tpu.utils.data import DataLoader, collate_fn
 
 
