@@ -1,0 +1,75 @@
+"""Serving layer tests: real HTTP round-trips against the in-process server."""
+
+import json
+import threading
+import urllib.request
+from http.server import ThreadingHTTPServer
+
+import numpy as np
+import pytest
+
+TINY_ARGS = [
+    "--channels-list", "16,32", "--n-heads", "4", "--time-emb-dim", "32",
+    "--n-layers", "1", "--autoencoder-channels-list", "8,16", "--groups", "4",
+    "--noise-steps", "20", "--default-image-size", "16", "--default-steps", "3",
+]
+
+
+@pytest.fixture(scope="module")
+def server_url():
+    import sys
+
+    sys.path.insert(0, "scripts")
+    import serve as serve_mod
+
+    service, cfg = serve_mod.build_service(TINY_ARGS)
+    httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve_mod.make_handler(service))
+    port = httpd.server_address[1]
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    yield f"http://127.0.0.1:{port}"
+    httpd.shutdown()
+
+
+def _post(url, payload):
+    req = urllib.request.Request(
+        url, data=json.dumps(payload).encode(), method="POST"
+    )
+    try:
+        with urllib.request.urlopen(req, timeout=600) as resp:
+            return resp.status, resp.headers.get("Content-Type"), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
+
+
+def test_healthz(server_url):
+    with urllib.request.urlopen(server_url + "/healthz", timeout=30) as resp:
+        body = json.loads(resp.read())
+    assert body["status"] == "ok"
+    assert "ddim" in body["samplers"]
+
+
+def test_txt2img_returns_png_and_is_deterministic(server_url):
+    status, ctype, body = _post(
+        server_url + "/txt2img", {"prompt": "a red circle", "seed": 7}
+    )
+    assert status == 200 and ctype == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+    # same seed -> identical bytes; different seed -> different image
+    _, _, body2 = _post(server_url + "/txt2img", {"prompt": "a red circle", "seed": 7})
+    assert body2 == body
+    _, _, body3 = _post(server_url + "/txt2img", {"prompt": "a red circle", "seed": 8})
+    assert body3 != body
+
+
+def test_bad_sampler_is_400_json(server_url):
+    status, ctype, body = _post(
+        server_url + "/txt2img", {"prompt": "x", "sampler": "bogus"}
+    )
+    assert status == 400 and ctype == "application/json"
+    assert "unknown sampler" in json.loads(body)["error"]
+
+
+def test_unknown_route_404(server_url):
+    status, _, _ = _post(server_url + "/nope", {})
+    assert status == 404
