@@ -47,6 +47,22 @@ def main(argv=None):
         seed=cfg.train.seed,
         init_image_size=cfg.sampling.image_size,
     )
+    if cfg.sampling.unet_checkpoint:
+        import os as _os
+
+        from stable_diffusion_pytorch_tpu.utils.checkpoint import (
+            find_latest_checkpoint,
+            load_params_for_inference,
+        )
+
+        path = cfg.sampling.unet_checkpoint
+        if _os.path.isdir(path) and not _os.path.basename(path).startswith(
+            ("checkpoint", "epoch")
+        ):
+            path = find_latest_checkpoint(path) or path
+        logger.info(f"loading trained UNet weights from {path}")
+        model.unet_params = load_params_for_inference(path)
+
     logger.info(
         f"sampling {cfg.sampling.num_images} image(s) for prompt={cfg.sampling.prompt!r} "
         f"({cfg.sampling.sampler}, {cfg.sampling.sampling_steps} steps, "

@@ -52,6 +52,13 @@ class SamplingConfig(BaseConfig):
     )
     output_dir: str = field(default="output", metadata={"help": "directory for saved PNGs."})
     output_name: str = field(default="txt2img", metadata={"help": "basename for saved PNGs."})
+    unet_checkpoint: Optional[str] = field(
+        default=None,
+        metadata={
+            "help": "Trainer checkpoint (checkpoint-N dir, or a ckpt dir with "
+            "'latest' resolution) to load UNet weights from; EMA preferred."
+        },
+    )
 
 
 def _load_image(image, resolution: int) -> np.ndarray:

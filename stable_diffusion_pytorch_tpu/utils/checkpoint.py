@@ -47,6 +47,22 @@ def save_checkpoint(path: str, state: Any) -> None:
     ckptr.close()
 
 
+def load_params_for_inference(path: str) -> Any:
+    """Restore just the model params from a trainer checkpoint for sampling.
+
+    Prefers the EMA shadow weights when the checkpoint carries them
+    (--ema-decay > 0 runs). Restores without an abstract target, so it works
+    for any model config the checkpoint was trained with.
+    """
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.abspath(path))
+    ckptr.close()
+    ema = restored.get("ema_params")
+    if ema is not None and jax.tree_util.tree_leaves(ema):
+        return ema
+    return restored["params"]
+
+
 def restore_checkpoint(path: str, abstract_state: Any) -> Any:
     """Restore into the structure/shardings of ``abstract_state``."""
     ckptr = ocp.StandardCheckpointer()
