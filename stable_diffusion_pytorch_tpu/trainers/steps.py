@@ -74,6 +74,7 @@ def make_unet_train_step(
     whole_batch_cfg_dropout: bool = False,
     remat: bool = False,  # deprecated: per-block remat lives in UNetModel(remat=True)
     ema_decay: float = 0.0,
+    random_flip: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for latent-diffusion fine-tuning.
 
@@ -106,12 +107,27 @@ def make_unet_train_step(
 
     def prepare_inputs(clip_params, vae_params, batch, uncond_ids, key):
         """Frozen encoders + q-sample; shared by train and eval."""
-        k_sample, k_noise, k_t, k_drop = jax.random.split(key, 4)
+        k_sample, k_noise, k_t, k_drop, k_pre = jax.random.split(key, 5)
         if "latents" in batch:
             latents = batch["latents"]
         else:
+            if "raw_images" in batch:
+                # on-device preprocessing: uint8 -> [-1,1] (+ flip) inside jit
+                from stable_diffusion_pytorch_tpu.utils.preprocess import (
+                    device_preprocess,
+                )
+
+                pixels = device_preprocess(
+                    batch["raw_images"],
+                    batch["raw_images"].shape[1],
+                    center_crop=True,
+                    random_flip=random_flip,
+                    key=k_pre if random_flip else None,
+                )
+            else:
+                pixels = batch["pixel_values"]
             posterior = vae_module.apply(
-                vae_params, batch["pixel_values"], method=vae_module.encode
+                vae_params, pixels, method=vae_module.encode
             )
             latents = posterior.latent_dist.sample(k_sample)
         latents = jax.lax.stop_gradient(latents)

@@ -345,6 +345,10 @@ class UNetTrainer(Trainer):
             cfg_dropout_prob=0.1,
             whole_batch_cfg_dropout=bool(compat and compat.reference_compat),
             ema_decay=cfg.train.ema_decay,
+            random_flip=bool(
+                cfg.dataset.random_flip
+                and getattr(cfg.dataset, "device_preprocess", False)
+            ),
         )
         self._jit_train = jax.jit(train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(eval_step)

@@ -49,7 +49,16 @@ def build_latent_cache(
     )
     moments_out, ids_out, ctx_out = [], [], []
     for batch in loader:
-        dist = encode(vae_params, jnp.asarray(batch["pixel_values"]))
+        if "pixel_values" in batch:
+            pixels = jnp.asarray(batch["pixel_values"])
+        else:  # --device-preprocess mode ships raw uint8
+            from stable_diffusion_pytorch_tpu.utils.preprocess import (
+                device_preprocess,
+            )
+
+            raw = jnp.asarray(batch["raw_images"])
+            pixels = device_preprocess(raw, raw.shape[1])
+        dist = encode(vae_params, pixels)
         moments = jnp.concatenate([dist.mean, dist.log_var], axis=-1)
         moments_out.append(np.asarray(moments.astype(jnp.float32)))
         ids_out.append(batch["input_ids"])

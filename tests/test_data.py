@@ -60,6 +60,27 @@ def test_tokenize_captions_multi_caption_rows():
         tokenize_captions([42], tok)
 
 
+def test_device_preprocess_raw_mode():
+    """--device-preprocess: rows carry uint8 raw images; normalize runs on-device."""
+    import jax.numpy as jnp
+
+    from stable_diffusion_pytorch_tpu.utils.preprocess import device_preprocess
+
+    cfg = DatasetConfig(dataset="synthetic", resolution=16, device_preprocess=True)
+    ds = SyntheticTextImageDataset(cfg, "train", HashTokenizer(), num_rows=4)
+    row = ds[0]
+    assert row["raw_image"].dtype == np.uint8
+    assert row["raw_image"].shape == (16, 16, 3)
+    batch = collate_fn([ds[0], ds[1]])
+    assert batch["raw_images"].dtype == np.uint8
+    # device path output equals the host transform (center crop, no flip)
+    on_device = np.asarray(device_preprocess(jnp.asarray(batch["raw_images"]), 16))
+    host = np.stack(
+        [transform_image(ds[i]["raw_image"], 16, center_crop=True) for i in range(2)]
+    )
+    np.testing.assert_allclose(on_device, host, atol=1e-5)
+
+
 def test_synthetic_dataset_deterministic():
     cfg = DatasetConfig(dataset="synthetic", resolution=16)
     ds = SyntheticTextImageDataset(cfg, "train", HashTokenizer(), num_rows=8)
