@@ -145,10 +145,10 @@ def _flash_bwd(scale, interpret, res, do):
         flash_attention_bwd,
     )
 
-    # dkv 64: its four f32 derivative tiles at 128x4096 overflow 16MB VMEM by
-    # ~56KB for SD's 4096-token self-attention; dq has no scratch accumulators
-    # and affords 128-row tiles
-    dkv_block = int(os.environ.get("SD_FLASH_BWD_BLOCK_N", "64"))
+    # dkv 96: measured fastest that fits (18.9 samples/s vs 18.6 at 64; 128
+    # OOMs the 16MB VMEM on SD's 4096-token self-attention); dq has no scratch
+    # accumulators and affords 128-row tiles
+    dkv_block = int(os.environ.get("SD_FLASH_BWD_BLOCK_N", "96"))
     dq_block = int(os.environ.get("SD_FLASH_BWD_DQ_BLOCK_N", "128"))
     return flash_attention_bwd(
         q, k, v, do, scale, interpret, block_n=dkv_block, dq_block_n=dq_block
