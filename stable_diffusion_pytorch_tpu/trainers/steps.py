@@ -212,6 +212,7 @@ def make_vae_train_step(
     kl_weight: float = 1.0,
     kl_per_example0: bool = False,
     ema_decay: float = 0.0,
+    random_flip: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for KL-VAE training.
 
@@ -222,7 +223,21 @@ def make_vae_train_step(
     """
 
     def loss_fn(vae_params, batch, key):
-        img = batch["pixel_values"]
+        if "raw_images" in batch:  # --device-preprocess path
+            from stable_diffusion_pytorch_tpu.utils.preprocess import (
+                device_preprocess,
+            )
+
+            key, k_pre = jax.random.split(key)
+            img = device_preprocess(
+                batch["raw_images"],
+                batch["raw_images"].shape[1],
+                center_crop=True,
+                random_flip=random_flip,
+                key=k_pre if random_flip else None,
+            )
+        else:
+            img = batch["pixel_values"]
         recon, posterior = vae_module.apply(vae_params, img, sample_key=key)
         recon_loss = jnp.mean(
             (img.astype(jnp.float32) - recon.astype(jnp.float32)) ** 2

@@ -429,6 +429,10 @@ class AutoencoderTrainer(Trainer):
             kl_weight=self.cfg.model.autoencoder.kl_weight,
             kl_per_example0=bool(self.compat and self.compat.kl_per_example0),
             ema_decay=self.cfg.train.ema_decay,
+            random_flip=bool(
+                self.cfg.dataset.random_flip
+                and getattr(self.cfg.dataset, "device_preprocess", False)
+            ),
         )
         self._jit_train = jax.jit(train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(eval_step)

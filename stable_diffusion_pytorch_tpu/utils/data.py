@@ -379,13 +379,19 @@ def get_dataset(args: DatasetConfig, split: str = "train", tokenizer=None, logge
 
 
 def sample_test_image(args, split, tokenizer, logger=None, num: int = 10):
-    """prepare_dataset.py:239-245."""
+    """prepare_dataset.py:239-245. Always returns [-1,1] float images, also in
+    --device-preprocess mode (test fixtures are host-side)."""
     test_data = get_dataset(args, split=split, tokenizer=tokenizer, logger=logger)
     rng = np.random.default_rng(0)
-    return [
-        test_data[int(rng.integers(0, len(test_data)))]["pixel_values"]
-        for _ in range(num)
-    ]
+    out = []
+    for _ in range(num):
+        row = test_data[int(rng.integers(0, len(test_data)))]
+        if "pixel_values" in row:
+            out.append(row["pixel_values"])
+        else:
+            img = row["raw_image"].astype(np.float32) / 255.0
+            out.append((img - 0.5) / 0.5)
+    return out
 
 
 class DataLoader:
