@@ -293,6 +293,17 @@ class CLIPModel:
         )
         params = load_clip_params(cfg.model_dir) if cfg.model_dir else None
         if params is None:
+            import warnings
+
+            warnings.warn(
+                "\n" + "!" * 78 + "\n"
+                f"!! CLIP FALLBACK: no pretrained text-encoder checkpoint under "
+                f"{cfg.model_dir!r};\n!! using RANDOM-INIT weights (seed 0). "
+                "Text conditioning is meaningless until real\n!! weights are "
+                "staged (e.g. data/pretrained/text_encoder/model.safetensors)."
+                "\n" + "!" * 78,
+                stacklevel=2,
+            )
             dummy = jnp.zeros((1, cfg.max_seq_len), jnp.int32)
             params = self.module.init(jax.random.PRNGKey(0), dummy)
             self.pretrained = False

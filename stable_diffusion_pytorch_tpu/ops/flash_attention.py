@@ -36,14 +36,15 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
+    # scale is pre-folded into q (one pass over the small q instead of a
+    # [BLOCK_N, M] f32 multiply over the scores every tile)
     q = q_ref[0]  # [BLOCK_N, Dp]
     k = k_ref[0]  # [Mp, Dp]
     v = v_ref[0]  # [Mp, Dp]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
-    s = s * scale
     m_pad = k.shape[0]
     if kv_len < m_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
@@ -51,14 +52,33 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, scale: float, kv_len: int):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
-    p = (p / l).astype(v.dtype)
-    o = jnp.dot(p, v, preferred_element_type=jnp.float32)
-    o_ref[0] = o.astype(o_ref.dtype)
+    # defer the 1/l normalization to the [BLOCK_N, D] output (D << M): saves a
+    # full f32 pass over the score tile on the VPU
+    o = jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
+    o_ref[0] = (o / l).astype(o_ref.dtype)
 
 
 # 512 measured fastest for the SD 4096-token self-attention on v5e (vs 256:
 # 0.973 -> 0.995 img/s end-to-end); still fits VMEM with f32 score tiles
 DEFAULT_BLOCK_N = 512
+
+# per-tile working set the Mosaic compiler tolerates before VMEM overflow:
+# resident K+V + one f32 score tile (p reuses s's buffer) + q/out double
+# buffers. 12MB leaves headroom under the 16MB scoped limit.
+_VMEM_TILE_BUDGET = 12 * 1024 * 1024
+
+
+def _fit_block_n(block_n: int, m_pad: int, d_pad: int, itemsize: int) -> int:
+    """Shrink the q-block until the tile working set fits VMEM. Matters for
+    large head dims (the VAE bottleneck's single-head d=512 attention at 4096
+    tokens used to silently fall back to XLA full-score attention here)."""
+    kv_bytes = 2 * m_pad * d_pad * itemsize
+    while block_n > 16:
+        tile = kv_bytes + block_n * m_pad * 4 + 4 * block_n * d_pad * itemsize
+        if tile <= _VMEM_TILE_BUDGET:
+            break
+        block_n //= 2
+    return max(block_n, 16)
 
 
 def _flash_fwd_impl(
@@ -80,6 +100,7 @@ def _flash_fwd_impl(
     d_pad = _round_up(d, LANE)
     m_pad = _round_up(m, LANE)
     block_n = min(block_n, _round_up(n, 16))
+    block_n = _fit_block_n(block_n, m_pad, d_pad, jnp.dtype(dtype).itemsize)
     n_pad = _round_up(n, block_n)
 
     # [B,N,H,D] -> [B*H, N, D] with zero padding
@@ -89,13 +110,13 @@ def _flash_fwd_impl(
             x, ((0, 0), (0, length_pad - length), (0, d_pad - d))
         )
 
-    qb = to_bhnd(q, n, n_pad)
+    qb = to_bhnd(q, n, n_pad) * jnp.asarray(scale, dtype)
     kb = to_bhnd(k, m, m_pad)
     vb = to_bhnd(v, m, m_pad)
 
     grid = (b * h, n_pad // block_n)
     out = pl.pallas_call(
-        functools.partial(_fa_kernel, scale=scale, kv_len=m),
+        functools.partial(_fa_kernel, kv_len=m),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_n, d_pad), lambda bh, i: (bh, i, 0)),

@@ -14,6 +14,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 _IMPL = "auto"  # "auto" | "xla" | "pallas"
 
@@ -43,20 +44,45 @@ def xla_group_norm(
     eps: float = 1e-5,
     apply_silu: bool = False,
 ) -> jnp.ndarray:
-    """x: [..., C] channel-last. Matches torch.nn.GroupNorm (eps 1e-5) + SiLU."""
+    """x: [..., C] channel-last. Matches torch.nn.GroupNorm (eps 1e-5) + SiLU.
+
+    Group statistics are computed WITHOUT reshaping the channel (lane) axis:
+    splitting C into [G, C/G] puts C/G (e.g. 320/32 = 10) on the TPU lane
+    dimension and forces a relayout on every feature map — measured as the
+    dominant cost of VAE decode at 512x512. Instead, per-channel sum/sumsq
+    reduce over space (one fused pass), and a [C, G] 0/1 membership matrix
+    turns the group reduction and the group->channel broadcast into two tiny
+    matmuls. Mathematically identical (var = E[x^2] - E[x]^2 in f32, the same
+    formula the Pallas kernel uses); layout-friendly in both fwd and autodiff
+    bwd.
+    """
     dtype = x.dtype
     c = x.shape[-1]
     assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
     orig_shape = x.shape
-    xf = x.astype(jnp.float32).reshape(orig_shape[0], -1, num_groups, c // num_groups)
-    mean = jnp.mean(xf, axis=(1, 3), keepdims=True)
-    var = jnp.var(xf, axis=(1, 3), keepdims=True)
-    xf = (xf - mean) * jax.lax.rsqrt(var + eps)
-    xf = xf.reshape(orig_shape)
-    xf = xf * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+    b = orig_shape[0]
+    group_size = c // num_groups
+    n = int(np.prod(orig_shape[1:-1])) * group_size
+
+    memb = np.zeros((c, num_groups), np.float32)
+    memb[np.arange(c), np.arange(c) // group_size] = 1.0
+    memb = jnp.asarray(memb)
+
+    xf = x.astype(jnp.float32).reshape(b, -1, c)
+    xs = jnp.sum(xf, axis=1)  # [B, C]
+    xsq = jnp.sum(xf * xf, axis=1)  # [B, C]
+    gs = xs @ memb  # [B, G]
+    gsq = xsq @ memb
+    mean_g = gs / n
+    var_g = gsq / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = (mean_g @ memb.T)[:, None, :]  # [B, 1, C]
+    inv_c = (inv_g @ memb.T)[:, None, :]
+
+    y = (xf - mean_c) * inv_c * scale.astype(jnp.float32) + bias.astype(jnp.float32)
     if apply_silu:
-        xf = xf * jax.nn.sigmoid(xf)
-    return xf.astype(dtype)
+        y = y * jax.nn.sigmoid(y)
+    return y.reshape(orig_shape).astype(dtype)
 
 
 def _pallas_eligible(x: jnp.ndarray) -> bool:

@@ -46,19 +46,33 @@ def batch_shardings(mesh: Mesh, batch) -> object:
 
 
 def zero_shardings(mesh: Mesh, pytree) -> object:
-    """ZeRO-style shardings for optimizer state: shard a leaf's axis 0 over the
-    data axis whenever it divides evenly, else replicate.
+    """ZeRO-style shardings for optimizer state: shard each leaf along its
+    LARGEST evenly-divisible axis over the data axis, else replicate.
 
     This is the TPU analog of DeepSpeed ZeRO-2 optimizer-state partitioning
     (train_unet.py:101-109): each device holds 1/N of the Adam moments, and XLA
     inserts the reduce-scatter/all-gather pattern at the jit boundary.
+
+    Axis choice matters: a UNet is dominated by [3, 3, C_in, C_out] conv
+    kernels whose axis 0 (= 3) never divides the device count — an axis-0-only
+    rule would leave the bulk of the optimizer memory replicated. Picking the
+    largest divisible axis (here C_out, a multiple of 32) shards every conv
+    kernel, every attention projection, and every bias of size >= N.
     """
     n = mesh.devices.size
 
     def leaf_sharding(x):
-        if hasattr(x, "shape") and x.ndim >= 1 and x.shape[0] % n == 0 and x.shape[0] > 0:
-            return NamedSharding(mesh, P(DATA_AXIS))
-        return NamedSharding(mesh, P())
+        if not hasattr(x, "shape") or x.ndim == 0 or n <= 1:
+            return NamedSharding(mesh, P())
+        best_axis, best_size = None, 0
+        for axis, size in enumerate(x.shape):
+            if size > best_size and size % n == 0 and size > 0:
+                best_axis, best_size = axis, size
+        if best_axis is None:
+            return NamedSharding(mesh, P())
+        spec = [None] * x.ndim
+        spec[best_axis] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map(leaf_sharding, pytree)
 

@@ -51,7 +51,11 @@ class TrainState:
         )
 
 
-def _ema_update(ema_params, new_params, decay: float):
+def _ema_update(ema_params, new_params, decay):
+    """EMA shadow update; ``decay`` may be a traced scalar (1.0 = no-op, used on
+    gradient-accumulation micro-steps where params did not actually change —
+    otherwise the configured decay would compound as decay^accum per optimizer
+    update)."""
     if ema_params is None:
         return None
     return jax.tree_util.tree_map(
@@ -59,6 +63,16 @@ def _ema_update(ema_params, new_params, decay: float):
         ema_params,
         new_params,
     )
+
+
+def _ema_decay_at(step, ema_decay: float, accum: int):
+    """Effective decay for micro-step ``step`` (0-based): the real decay only on
+    the sync micro-step where optax.MultiSteps applies the update, 1.0 (no-op)
+    otherwise."""
+    if accum <= 1:
+        return ema_decay
+    sync = (step + 1) % accum == 0
+    return jnp.where(sync, jnp.float32(ema_decay), jnp.float32(1.0))
 
 
 def make_unet_train_step(
@@ -75,6 +89,7 @@ def make_unet_train_step(
     remat: bool = False,  # deprecated: per-block remat lives in UNetModel(remat=True)
     ema_decay: float = 0.0,
     random_flip: bool = False,
+    gradient_accumulation_steps: int = 1,
 ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for latent-diffusion fine-tuning.
 
@@ -108,7 +123,18 @@ def make_unet_train_step(
     def prepare_inputs(clip_params, vae_params, batch, uncond_ids, key):
         """Frozen encoders + q-sample; shared by train and eval."""
         k_sample, k_noise, k_t, k_drop, k_pre = jax.random.split(key, 5)
-        if "latents" in batch:
+        if "moments" in batch:
+            # VAE-latent cache ships posterior moments; draw the fresh latent
+            # sample here from the per-step key so each epoch (and each resume
+            # replay) gets a new draw — numerically equivalent to reference
+            # training which re-samples the posterior every access
+            # (train_unet.py:502-504), minus the encoder FLOPs.
+            m = batch["moments"]
+            c = m.shape[-1] // 2
+            mean, log_var = m[..., :c], m[..., c:]
+            eps = jax.random.normal(k_sample, mean.shape, mean.dtype)
+            latents = mean + jnp.exp(0.5 * log_var) * eps
+        elif "latents" in batch:
             latents = batch["latents"]
         else:
             if "raw_images" in batch:
@@ -195,7 +221,11 @@ def make_unet_train_step(
                 step=state.step + 1,
                 params=new_params,
                 opt_state=new_opt_state,
-                ema_params=_ema_update(state.ema_params, new_params, ema_decay),
+                ema_params=_ema_update(
+                    state.ema_params,
+                    new_params,
+                    _ema_decay_at(state.step, ema_decay, gradient_accumulation_steps),
+                ),
             ),
             metrics,
         )
@@ -213,6 +243,7 @@ def make_vae_train_step(
     kl_per_example0: bool = False,
     ema_decay: float = 0.0,
     random_flip: bool = False,
+    gradient_accumulation_steps: int = 1,
 ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for KL-VAE training.
 
@@ -259,7 +290,11 @@ def make_vae_train_step(
                 step=state.step + 1,
                 params=new_params,
                 opt_state=new_opt_state,
-                ema_params=_ema_update(state.ema_params, new_params, ema_decay),
+                ema_params=_ema_update(
+                    state.ema_params,
+                    new_params,
+                    _ema_decay_at(state.step, ema_decay, gradient_accumulation_steps),
+                ),
             ),
             metrics,
         )

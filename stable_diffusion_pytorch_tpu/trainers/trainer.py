@@ -47,7 +47,11 @@ from stable_diffusion_pytorch_tpu.utils.checkpoint import (
     resume_train_state_math,
 )
 from stable_diffusion_pytorch_tpu.utils.data import DataLoader
-from stable_diffusion_pytorch_tpu.utils.tracking import Tracker, get_logger
+from stable_diffusion_pytorch_tpu.utils.tracking import (
+    NullTracker,
+    Tracker,
+    get_logger,
+)
 
 
 class Trainer:
@@ -104,7 +108,24 @@ class Trainer:
         )
 
         self.ckpt_manager = CheckpointManager(cfg.checkpoint)
-        self.tracker = Tracker(cfg.log, self.run_name, config=cfg.to_dict())
+        # main-process gating: on a multi-host pod only process 0 opens the
+        # wandb run / JSONL stream (reference logs on the main rank only,
+        # train_unet.py:111-142); other hosts get a no-op sink
+        self.is_main_process = jax.process_index() == 0
+        self.tracker = (
+            Tracker(cfg.log, self.run_name, config=cfg.to_dict())
+            if self.is_main_process
+            else NullTracker()
+        )
+        # auditable degradation: a synthetic-fallback dataset marks every
+        # metrics record so a misconfigured data path cannot masquerade as a
+        # real-data run
+        self._synthetic_fallback = bool(
+            getattr(train_dataset, "synthetic_fallback", False)
+            or getattr(eval_dataset, "synthetic_fallback", False)
+        )
+        if self._synthetic_fallback:
+            self.tracker.set_persistent(synthetic_fallback=True)
 
         self.tx = build_optimizer(
             cfg.optim,
@@ -268,11 +289,10 @@ class Trainer:
                         path = self.ckpt_manager.save(global_step, self.state)
                         self.logger.info(f"Saved state to {path}")
 
-                if global_step >= max_train_steps:
-                    done = True
-                    break
-
                 # ---------------- evaluation ---------------- #
+                # runs BEFORE the termination check so a run whose final step
+                # lands on the eval cadence still gets its final eval/image log
+                # (the reference evaluates before terminating, train_unet.py:416-450)
                 if (
                     sync
                     and global_step > 0
@@ -282,8 +302,12 @@ class Trainer:
                     == 0
                 ):
                     self.evaluate(global_step)
-                    if cfg.log.log_image:
+                    if cfg.log.log_image and self.is_main_process:
                         self.log_images(global_step)
+
+                if global_step >= max_train_steps:
+                    done = True
+                    break
 
             # epoch checkpointing (fixing the reference's stale-path bug,
             # train_unet.py:469-481)
@@ -349,6 +373,7 @@ class UNetTrainer(Trainer):
                 cfg.dataset.random_flip
                 and getattr(cfg.dataset, "device_preprocess", False)
             ),
+            gradient_accumulation_steps=cfg.train.gradient_accumulation_steps,
         )
         self._jit_train = jax.jit(train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(eval_step)
@@ -433,6 +458,7 @@ class AutoencoderTrainer(Trainer):
                 self.cfg.dataset.random_flip
                 and getattr(self.cfg.dataset, "device_preprocess", False)
             ),
+            gradient_accumulation_steps=self.cfg.train.gradient_accumulation_steps,
         )
         self._jit_train = jax.jit(train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(eval_step)

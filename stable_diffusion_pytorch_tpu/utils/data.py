@@ -158,9 +158,16 @@ def to_img(digit_img: np.ndarray, output_path: str = "", name: str = "sample"):
     return img
 
 
-def tokenize_captions(captions: Sequence, tokenizer, is_train: bool = True) -> np.ndarray:
-    """prepare_dataset.py:105-124: random caption choice for multi-caption rows."""
-    rng = np.random.default_rng(0)
+def tokenize_captions(
+    captions: Sequence, tokenizer, is_train: bool = True,
+    rng: Optional[np.random.Generator] = None,
+) -> np.ndarray:
+    """prepare_dataset.py:105-124: random caption choice for multi-caption rows.
+
+    ``rng`` should come from the caller (seeded per row AND per epoch) so
+    multi-caption rows see different captions across epochs, like the
+    reference's global-RNG re-randomization on every access."""
+    rng = rng if rng is not None else np.random.default_rng(0)
     chosen: List[str] = []
     for caption in captions:
         if isinstance(caption, str):
@@ -224,6 +231,15 @@ class SyntheticTextImageDataset:
         self.tokenizer = tokenizer
         self.num_rows = num_rows
         self.resolution = cfg.resolution
+        self.epoch = 0
+        self.synthetic_fallback = False  # True when substituting a real dataset
+
+    def set_epoch(self, epoch: int) -> None:
+        """Vary augmentation randomness across epochs (DataLoader forwards this)."""
+        self.epoch = epoch
+
+    def _row_rng(self, idx: int) -> np.random.Generator:
+        return np.random.default_rng(np.random.SeedSequence([self.epoch, idx]))
 
     def __len__(self) -> int:
         return self.num_rows
@@ -264,7 +280,7 @@ class SyntheticTextImageDataset:
             self.cfg.resolution,
             center_crop=self.cfg.center_crop,
             random_flip=self.cfg.random_flip,
-            rng=np.random.default_rng(idx),
+            rng=self._row_rng(idx),
         )
         return {
             "pixel_values": pixel_values,
@@ -281,9 +297,15 @@ class HFImageTextDataset:
         self.cfg = cfg
         self.tokenizer = tokenizer
         self.is_train = is_train
+        self.epoch = 0
+        self.synthetic_fallback = False
         cols = hf_dataset.column_names
         self.image_column = [c for c in ["image", "img"] if c in cols][0]
         self.caption_column = [c for c in ["text", "caption", "prompt"] if c in cols][0]
+
+    def set_epoch(self, epoch: int) -> None:
+        """Vary augmentation/caption randomness across epochs."""
+        self.epoch = epoch
 
     def __len__(self) -> int:
         return len(self.ds)
@@ -292,7 +314,10 @@ class HFImageTextDataset:
         row = self.ds[int(idx)]
         img = np.asarray(row[self.image_column].convert("RGB"))
         caption = row[self.caption_column]
-        input_ids = tokenize_captions([caption], self.tokenizer, self.is_train)[0]
+        rng = np.random.default_rng(np.random.SeedSequence([self.epoch, idx]))
+        input_ids = tokenize_captions(
+            [caption], self.tokenizer, self.is_train, rng=rng
+        )[0]
         text = caption if isinstance(caption, str) else caption[0]
         if getattr(self.cfg, "device_preprocess", False):
             # host only decodes + fixes the shape (resize short side, center
@@ -306,7 +331,7 @@ class HFImageTextDataset:
             self.cfg.resolution,
             center_crop=self.cfg.center_crop,
             random_flip=self.cfg.random_flip and self.is_train,
-            rng=np.random.default_rng(idx),
+            rng=rng,
         )
         return {
             "pixel_values": pixel_values,
@@ -358,17 +383,27 @@ def get_dataset(args: DatasetConfig, split: str = "train", tokenizer=None, logge
             cache_dir=os.path.join(args.data_dir, args.dataset),
         )["train"]
     except Exception as e:  # no egress / not cached: degrade to synthetic
+        import warnings
+
+        banner = (
+            "\n" + "!" * 78 + "\n"
+            f"!! DATASET FALLBACK: could not load {args.dataset!r} "
+            f"({type(e).__name__}: {e});\n"
+            "!! training will run on the SYNTHETIC offline dataset. If you "
+            "expected real data,\n!! fix the dataset path/cache — this run's "
+            "metrics are tagged synthetic_fallback.\n" + "!" * 78
+        )
+        warnings.warn(banner, stacklevel=2)
         if logger:
-            logger.warning(
-                f"could not load {args.dataset!r} ({type(e).__name__}: {e}); "
-                "falling back to the synthetic offline dataset"
-            )
+            logger.warning(banner)
         sizes = {
             "train": args.max_train_samples or 9000,
             "validation": args.max_val_samples or 500,
             "test": args.max_test_samples or 500,
         }
-        return SyntheticTextImageDataset(args, split, tokenizer, sizes[split])
+        ds = SyntheticTextImageDataset(args, split, tokenizer, sizes[split])
+        ds.synthetic_fallback = True
+        return ds
 
     window = _split_window(args, split, len(ds), logger)
     if len(window) < len(ds):
@@ -424,6 +459,8 @@ class DataLoader:
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
+        if hasattr(self.dataset, "set_epoch"):
+            self.dataset.set_epoch(epoch)
 
     def __len__(self) -> int:
         n = len(self.dataset) // self.num_shards

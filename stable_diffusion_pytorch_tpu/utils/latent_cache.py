@@ -87,9 +87,12 @@ def build_latent_cache(
 
 
 class LatentCacheDataset:
-    """Dataset view over a cache file; rows sample a fresh latent per draw is
-    deferred to the train step (rows carry moments; steps with "latents" key
-    expect samples, so we sample here with a per-epoch-varying seed)."""
+    """Dataset view over a cache file. Rows carry the posterior MOMENTS
+    (mean, log_var); the fresh latent sample is drawn INSIDE the jitted train
+    step from the per-step PRNG key (steps.py handles the "moments" batch key),
+    so every epoch — and every replay of a resumed run — sees a new draw,
+    matching reference training which resamples the posterior each access
+    (train_unet.py:502-504)."""
 
     def __init__(self, cache_path: str):
         data = np.load(cache_path)
@@ -97,8 +100,7 @@ class LatentCacheDataset:
         self.input_ids = data["input_ids"]
         self.context_emb = data["context_emb"] if "context_emb" in data else None
         self.uncond_emb = data["uncond_emb"] if "uncond_emb" in data else None
-        c = self.moments.shape[-1] // 2
-        self._latent_channels = c
+        self._latent_channels = self.moments.shape[-1] // 2
 
     @property
     def has_text_cache(self) -> bool:
@@ -108,12 +110,7 @@ class LatentCacheDataset:
         return self.moments.shape[0]
 
     def __getitem__(self, idx: int) -> dict:
-        m = self.moments[idx]
-        mean, log_var = m[..., : self._latent_channels], m[..., self._latent_channels :]
-        rng = np.random.default_rng(idx)
-        eps = rng.standard_normal(mean.shape).astype(np.float32)
-        latent = mean + np.exp(0.5 * log_var) * eps
-        row = {"latents": latent, "input_ids": self.input_ids[idx]}
+        row = {"moments": self.moments[idx], "input_ids": self.input_ids[idx]}
         if self.context_emb is not None:
             row["context_emb"] = self.context_emb[idx]
         return row
@@ -121,7 +118,7 @@ class LatentCacheDataset:
 
 def collate_latents(examples) -> dict:
     out = {
-        "latents": np.stack([e["latents"] for e in examples]).astype(np.float32),
+        "moments": np.stack([e["moments"] for e in examples]).astype(np.float32),
         "input_ids": np.stack([e["input_ids"] for e in examples]).astype(np.int32),
     }
     if "context_emb" in examples[0]:

@@ -30,12 +30,30 @@ def get_logger(name: str) -> logging.Logger:
     return logging.getLogger(name)
 
 
+class NullTracker:
+    """No-op sink for non-main processes in multi-host runs (the reference logs
+    on the main rank only, train_unet.py:111-142)."""
+
+    def set_persistent(self, **fields) -> None:
+        pass
+
+    def log(self, metrics: Dict[str, Any], step: int) -> None:
+        pass
+
+    def log_images(self, images: Dict[str, Any], step: int) -> None:
+        pass
+
+    def finish(self) -> None:
+        pass
+
+
 class Tracker:
     """Metrics sink: JSONL always; wandb when with_tracking and available."""
 
     def __init__(self, log_cfg, run_name: str, config: Optional[Dict] = None):
         self.log_cfg = log_cfg
         self.wandb = None
+        self._persistent: Dict[str, Any] = {}
         os.makedirs(log_cfg.logging_dir, exist_ok=True)
         self.jsonl_path = os.path.join(
             log_cfg.logging_dir, f"{run_name}_metrics.jsonl"
@@ -64,8 +82,13 @@ class Tracker:
                     "installed in this environment (`pip install wandb`)"
                 ) from e
 
+    def set_persistent(self, **fields) -> None:
+        """Fields stamped onto every subsequent metrics record (e.g.
+        synthetic_fallback=True so degraded runs are auditable)."""
+        self._persistent.update(fields)
+
     def log(self, metrics: Dict[str, Any], step: int) -> None:
-        record = {"step": step, "time": time.time()}
+        record = {"step": step, "time": time.time(), **self._persistent}
         for k, v in metrics.items():
             try:
                 record[k] = float(v)

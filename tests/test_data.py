@@ -140,11 +140,13 @@ def test_latent_cache_roundtrip(tmp_path):
     assert len(cached) == 6
     assert not cached.has_text_cache
     row = cached[0]
-    assert row["latents"].shape == (8, 8, 4)  # 16/f2, latent 4
+    # rows carry MOMENTS (mean, log_var = 2*latent_channels); the fresh latent
+    # sample is drawn inside the jitted train step
+    assert row["moments"].shape == (8, 8, 8)  # 16/f2, 2*latent 4
     assert row["input_ids"].shape == (77,)
     dl = DataLoader(cached, batch_size=2, collate=collate_latents)
     batch = next(iter(dl))
-    assert batch["latents"].shape == (2, 8, 8, 4)
+    assert batch["moments"].shape == (2, 8, 8, 8)
     assert batch["input_ids"].shape == (2, 77)
 
 

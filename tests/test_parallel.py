@@ -29,16 +29,48 @@ def test_mesh_and_shardings():
 
 
 def test_zero_shardings_rules():
+    """Largest-divisible-axis rule: conv kernels [3,3,I,O] must shard too (the
+    round-1 axis-0-only rule left every conv's Adam moments replicated)."""
     mesh = mesh_lib.get_mesh(8)
     tree = {
         "divisible": jnp.zeros((16, 4)),
-        "indivisible": jnp.zeros((3, 4)),
+        "conv_kernel": jnp.zeros((3, 3, 16, 320)),
+        "bias": jnp.zeros((320,)),
+        "indivisible": jnp.zeros((3, 5)),
         "scalar": jnp.zeros(()),
     }
     shardings = mesh_lib.zero_shardings(mesh, tree)
-    assert shardings["divisible"].spec == P(mesh_lib.DATA_AXIS)
+    assert shardings["divisible"].spec == P(mesh_lib.DATA_AXIS, None)
+    assert shardings["conv_kernel"].spec == P(None, None, None, mesh_lib.DATA_AXIS)
+    assert shardings["bias"].spec == P(mesh_lib.DATA_AXIS)
     assert shardings["indivisible"].spec == P()
     assert shardings["scalar"].spec == P()
+
+
+def test_zero_shardings_cover_sd_unet_opt_state():
+    """On the SD-scale UNet every weight tensor's moments must actually shard
+    (only scalars/tiny leaves may stay replicated)."""
+    from stable_diffusion_pytorch_tpu.models.unet import UNetModel, UnetConfig
+
+    mesh = mesh_lib.get_mesh(8)
+    unet = UNetModel.from_config(
+        4, 4, UnetConfig(channels_list=[16, 32], n_heads=4, time_emb_dim=32, n_layers=1)
+    )
+    key = jax.random.PRNGKey(0)
+    params = unet.init(
+        key, jnp.zeros((1, 8, 8, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 7, 768)),
+    )
+    shardings = mesh_lib.zero_shardings(mesh, params)
+    total = sharded = 0
+    for leaf, sh in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(shardings)
+    ):
+        if leaf.size < 64:  # tiny biases may legitimately stay replicated
+            continue
+        total += 1
+        sharded += int(sh.spec != P())
+    assert total > 0 and sharded / total > 0.95, f"{sharded}/{total} leaves sharded"
 
 
 def test_data_parallel_grad_matches_single_device():

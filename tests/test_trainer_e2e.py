@@ -62,6 +62,48 @@ def test_train_unet_checkpoint_resume_eval(tmp_path, monkeypatch):
     assert os.path.isdir(os.path.join(ckpt, "checkpoint-4"))
 
 
+def test_final_step_eval_fires_on_cadence(tmp_path, monkeypatch):
+    """A run whose terminal step lands on the eval cadence still gets its final
+    eval (the round-1 loop broke out before the eval block)."""
+    monkeypatch.chdir(tmp_path)
+    import train_unet
+
+    train_unet.main(
+        TINY + [
+            "--max-train-steps", "4",
+            "--log-interval", "2",
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+            "--logging-dir", str(tmp_path / "logs"),
+        ]
+    )
+    m = _metrics(tmp_path / "logs" / "train_unet_metrics.jsonl")
+    eval_steps = [r["step"] for r in m if "eval_loss" in r]
+    assert 4 in eval_steps, f"terminal-step eval missing: {eval_steps}"
+
+
+def test_synthetic_fallback_flag_in_metrics(tmp_path, monkeypatch):
+    """A failed real-dataset load must tag every metrics record so the run is
+    auditable (VERDICT round-1 'silent degradation paths')."""
+    monkeypatch.chdir(tmp_path)
+    import train_unet
+
+    # first-wins duplicate-flag semantics: strip TINY's --dataset pair
+    i = TINY.index("--dataset")
+    tiny_nods = TINY[:i] + TINY[i + 2 :]
+    train_unet.main(
+        tiny_nods + [
+            "--dataset", "poloclub/diffusiondb",  # not cached offline -> fallback
+            "--data-dir", str(tmp_path / "nodata"),
+            "--max-train-steps", "1",
+            "--log-interval", "0",
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+            "--logging-dir", str(tmp_path / "logs"),
+        ]
+    )
+    m = _metrics(tmp_path / "logs" / "train_unet_metrics.jsonl")
+    assert m and all(r.get("synthetic_fallback") for r in m if "train_loss" in r)
+
+
 def test_train_autoencoder_runs(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     import train_autoencoder

@@ -154,13 +154,32 @@ def test_unet_train_step_latent_cache_path():
     clip_params = clip.init(key, ids[:1])
     tx = optax.adam(1e-3)
     sched = make_schedule(DDPMConfig(noise_steps=20))
-    train_step, _ = make_unet_train_step(unet, clip, None, sched, tx)
+    train_step, eval_step = make_unet_train_step(unet, clip, None, sched, tx)
     state = TrainState.create(unet_params, tx)
     batch = {"latents": jax.random.normal(key, (2, 8, 8, 4)), "input_ids": ids}
     state, metrics = jax.jit(train_step)(
         state, clip_params, None, batch, jnp.full((77,), 49407, jnp.int32), key
     )
     assert np.isfinite(float(metrics["loss"]))
+
+    # moments path: the posterior sample is drawn INSIDE the step from the
+    # per-step key — different keys must see different latent draws (the
+    # round-1 host-side sampling drew the identical latent every epoch)
+    mbatch = {
+        "moments": jax.random.normal(key, (2, 8, 8, 8)),
+        "input_ids": ids,
+    }
+    uncond = jnp.full((77,), 49407, jnp.int32)
+    l_a = float(eval_step(state.params, clip_params, None, mbatch, uncond, key))
+    l_a2 = float(eval_step(state.params, clip_params, None, mbatch, uncond, key))
+    l_b = float(
+        eval_step(
+            state.params, clip_params, None, mbatch, uncond,
+            jax.random.PRNGKey(123),
+        )
+    )
+    assert np.isfinite(l_a) and l_a == l_a2, "same key must be deterministic"
+    assert l_a != l_b, "different keys must draw different posterior samples"
 
 
 def test_vae_train_step_descends():
