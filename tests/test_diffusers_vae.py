@@ -1,0 +1,280 @@
+"""Diffusers-architecture VAE: numeric parity vs an independent torch twin.
+
+The diffusers package is not installed offline, so the source of truth here is
+a minimal torch implementation of the diffusers AutoencoderKL semantics
+(ResnetBlock2D, mid-block single-head attention, asymmetric stride-2
+downsample, nearest x2 upsample, GN eps 1e-6 — the architecture
+/root/reference/train_unet.py:68-73 swaps in). The torch twin emits a
+state_dict with *diffusers key names* so the converter is exercised exactly as
+it would be on a real staged checkpoint.
+"""
+
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+import jax
+import jax.numpy as jnp
+
+from stable_diffusion_pytorch_tpu.models.diffusers_vae import (
+    DiffusersAutoencoderKL,
+    convert_diffusers_vae_state,
+    load_diffusers_vae,
+)
+
+torch.manual_seed(0)
+
+CH = (8, 16)  # tiny two-level config
+LAYERS = 2
+GROUPS = 4
+LATENT = 4
+
+
+class TorchResnet(torch.nn.Module):
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.norm1 = torch.nn.GroupNorm(GROUPS, cin, eps=1e-6)
+        self.conv1 = torch.nn.Conv2d(cin, cout, 3, padding=1)
+        self.norm2 = torch.nn.GroupNorm(GROUPS, cout, eps=1e-6)
+        self.conv2 = torch.nn.Conv2d(cout, cout, 3, padding=1)
+        self.conv_shortcut = (
+            torch.nn.Conv2d(cin, cout, 1) if cin != cout else None
+        )
+
+    def forward(self, x):
+        h = self.conv1(F.silu(self.norm1(x)))
+        h = self.conv2(F.silu(self.norm2(h)))
+        if self.conv_shortcut is not None:
+            x = self.conv_shortcut(x)
+        return x + h
+
+
+class TorchAttn(torch.nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.group_norm = torch.nn.GroupNorm(GROUPS, c, eps=1e-6)
+        self.to_q = torch.nn.Linear(c, c)
+        self.to_k = torch.nn.Linear(c, c)
+        self.to_v = torch.nn.Linear(c, c)
+        self.to_out = torch.nn.ModuleList([torch.nn.Linear(c, c)])
+
+    def forward(self, x):
+        b, c, hh, ww = x.shape
+        h = self.group_norm(x).reshape(b, c, hh * ww).transpose(1, 2)  # [B,N,C]
+        q, k, v = self.to_q(h), self.to_k(h), self.to_v(h)
+        scores = torch.softmax(q @ k.transpose(1, 2) * c**-0.5, dim=-1)
+        out = self.to_out[0](scores @ v)
+        return x + out.transpose(1, 2).reshape(b, c, hh, ww)
+
+
+class TorchMid(torch.nn.Module):
+    def __init__(self, c):
+        super().__init__()
+        self.resnets = torch.nn.ModuleList([TorchResnet(c, c), TorchResnet(c, c)])
+        self.attentions = torch.nn.ModuleList([TorchAttn(c)])
+
+    def forward(self, x):
+        x = self.resnets[0](x)
+        x = self.attentions[0](x)
+        return self.resnets[1](x)
+
+
+class TorchDownBlock(torch.nn.Module):
+    def __init__(self, cin, cout, downsample):
+        super().__init__()
+        self.resnets = torch.nn.ModuleList(
+            [TorchResnet(cin if j == 0 else cout, cout) for j in range(LAYERS)]
+        )
+        self.downsamplers = None
+        if downsample:
+            conv = torch.nn.Conv2d(cout, cout, 3, stride=2, padding=0)
+            holder = torch.nn.Module()
+            holder.conv = conv
+            self.downsamplers = torch.nn.ModuleList([holder])
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if self.downsamplers is not None:
+            x = F.pad(x, (0, 1, 0, 1))
+            x = self.downsamplers[0].conv(x)
+        return x
+
+
+class TorchUpBlock(torch.nn.Module):
+    def __init__(self, cin, cout, upsample):
+        super().__init__()
+        self.resnets = torch.nn.ModuleList(
+            [TorchResnet(cin if j == 0 else cout, cout) for j in range(LAYERS + 1)]
+        )
+        self.upsamplers = None
+        if upsample:
+            conv = torch.nn.Conv2d(cout, cout, 3, padding=1)
+            holder = torch.nn.Module()
+            holder.conv = conv
+            self.upsamplers = torch.nn.ModuleList([holder])
+
+    def forward(self, x):
+        for r in self.resnets:
+            x = r(x)
+        if self.upsamplers is not None:
+            x = F.interpolate(x, scale_factor=2, mode="nearest")
+            x = self.upsamplers[0].conv(x)
+        return x
+
+
+class TorchEncoder(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.conv_in = torch.nn.Conv2d(3, CH[0], 3, padding=1)
+        blocks, cin = [], CH[0]
+        for i, ch in enumerate(CH):
+            blocks.append(TorchDownBlock(cin, ch, downsample=i < len(CH) - 1))
+            cin = ch
+        self.down_blocks = torch.nn.ModuleList(blocks)
+        self.mid_block = TorchMid(CH[-1])
+        self.conv_norm_out = torch.nn.GroupNorm(GROUPS, CH[-1], eps=1e-6)
+        self.conv_out = torch.nn.Conv2d(CH[-1], 2 * LATENT, 3, padding=1)
+
+    def forward(self, x):
+        x = self.conv_in(x)
+        for b in self.down_blocks:
+            x = b(x)
+        x = self.mid_block(x)
+        return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+
+class TorchDecoder(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        rev = tuple(reversed(CH))
+        self.conv_in = torch.nn.Conv2d(LATENT, rev[0], 3, padding=1)
+        self.mid_block = TorchMid(rev[0])
+        blocks, cin = [], rev[0]
+        for i, ch in enumerate(rev):
+            blocks.append(TorchUpBlock(cin, ch, upsample=i < len(rev) - 1))
+            cin = ch
+        self.up_blocks = torch.nn.ModuleList(blocks)
+        self.conv_norm_out = torch.nn.GroupNorm(GROUPS, rev[-1], eps=1e-6)
+        self.conv_out = torch.nn.Conv2d(rev[-1], 3, 3, padding=1)
+
+    def forward(self, z):
+        x = self.mid_block(self.conv_in(z))
+        for b in self.up_blocks:
+            x = b(x)
+        return self.conv_out(F.silu(self.conv_norm_out(x)))
+
+
+class TorchVAE(torch.nn.Module):
+    def __init__(self):
+        super().__init__()
+        self.encoder = TorchEncoder()
+        self.decoder = TorchDecoder()
+        self.quant_conv = torch.nn.Conv2d(2 * LATENT, 2 * LATENT, 1)
+        self.post_quant_conv = torch.nn.Conv2d(LATENT, LATENT, 1)
+
+
+@pytest.fixture(scope="module")
+def pair():
+    tvae = TorchVAE().eval()
+    params = convert_diffusers_vae_state(
+        {k: v.detach().numpy() for k, v in tvae.state_dict().items()}
+    )
+    jvae = DiffusersAutoencoderKL(
+        block_out_channels=CH, layers_per_block=LAYERS, groups=GROUPS,
+        latent_channels=LATENT,
+    )
+    return tvae, jvae, params
+
+
+def test_encode_parity(pair):
+    tvae, jvae, params = pair
+    img = np.random.default_rng(0).standard_normal((2, 16, 16, 3)).astype(np.float32)
+    with torch.no_grad():
+        t_moments = tvae.quant_conv(
+            tvae.encoder(torch.tensor(img).permute(0, 3, 1, 2))
+        ).permute(0, 2, 3, 1).numpy()
+    out = jvae.apply(params, jnp.asarray(img), method=jvae.encode)
+    dist = out.latent_dist
+    ours = np.concatenate([np.asarray(dist.mean), np.asarray(dist.log_var)], -1)
+    np.testing.assert_allclose(ours, t_moments, atol=5e-4, rtol=5e-4)
+
+
+def test_decode_parity(pair):
+    tvae, jvae, params = pair
+    z = np.random.default_rng(1).standard_normal((2, 8, 8, LATENT)).astype(np.float32)
+    with torch.no_grad():
+        t_img = tvae.decoder(
+            tvae.post_quant_conv(torch.tensor(z).permute(0, 3, 1, 2))
+        ).permute(0, 2, 3, 1).numpy()
+    ours = np.asarray(jvae.apply(params, jnp.asarray(z), method=jvae.decode))
+    np.testing.assert_allclose(ours, t_img, atol=5e-4, rtol=5e-4)
+
+
+def test_load_from_disk_safetensors(tmp_path, pair):
+    tvae, jvae, params = pair
+    from safetensors.numpy import save_file
+
+    vae_dir = tmp_path / "vae"
+    vae_dir.mkdir()
+    save_file(
+        {k: v.detach().numpy() for k, v in tvae.state_dict().items()},
+        str(vae_dir / "diffusion_pytorch_model.safetensors"),
+    )
+    (vae_dir / "config.json").write_text(
+        '{"block_out_channels": [8, 16], "layers_per_block": 2, '
+        '"norm_num_groups": 4, "latent_channels": 4}'
+    )
+    loaded = load_diffusers_vae(str(vae_dir))
+    assert loaded is not None
+    module, lparams = loaded
+    assert module.block_out_channels == (8, 16)
+    z = jnp.asarray(
+        np.random.default_rng(2).standard_normal((1, 8, 8, LATENT)), jnp.float32
+    )
+    a = module.apply(lparams, z, method=module.decode)
+    b = jvae.apply(params, z, method=jvae.decode)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_old_attention_naming_converts(pair):
+    """pre-0.15 diffusers used query/key/value/proj_attn 1x1-conv weights."""
+    tvae, jvae, params = pair
+    state = {k: v.detach().numpy() for k, v in tvae.state_dict().items()}
+    renames = {}
+    for k in list(state):
+        for scope in ("encoder.mid_block.attentions.0", "decoder.mid_block.attentions.0"):
+            for new, old in (("to_q", "query"), ("to_k", "key"), ("to_v", "value")):
+                if k.startswith(f"{scope}.{new}."):
+                    w = state.pop(k)
+                    if k.endswith("weight"):
+                        w = w[:, :, None, None]  # old 1x1-conv shape
+                    renames[k.replace(f".{new}.", f".{old}.")] = w
+            if k.startswith(f"{scope}.to_out.0."):
+                renames[k.replace(".to_out.0.", ".proj_attn.")] = state.pop(k)
+            if k.startswith(f"{scope}.group_norm."):
+                renames[k.replace(".group_norm.", ".norm.")] = state.pop(k)
+    state.update(renames)
+    params_old = convert_diffusers_vae_state(state)
+    z = jnp.asarray(
+        np.random.default_rng(3).standard_normal((1, 8, 8, LATENT)), jnp.float32
+    )
+    a = jvae.apply(params_old, z, method=jvae.decode)
+    b = jvae.apply(params, z, method=jvae.decode)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_logvar_clamp():
+    jvae = DiffusersAutoencoderKL(
+        block_out_channels=CH, layers_per_block=LAYERS, groups=GROUPS,
+        latent_channels=LATENT,
+    )
+    img = jnp.asarray(
+        np.random.default_rng(4).standard_normal((1, 16, 16, 3)) * 100.0,
+        jnp.float32,
+    )
+    params = jvae.init(jax.random.PRNGKey(0), img)
+    out = jvae.apply(params, img, method=jvae.encode)
+    lv = np.asarray(out.latent_dist.log_var)
+    assert lv.min() >= -30.0 and lv.max() <= 20.0
