@@ -39,6 +39,69 @@ def count_params(params, name: str = "model", logger=None) -> int:
     return total
 
 
+def _try_load_pretrained_vae(pretrained_dir, model_cfg, dtype, logger):
+    """Pretrained VAE resolution order (loud either way):
+
+    1. ``{pretrained_dir}/vae/`` — a diffusers-format AutoencoderKL directory
+       (the exact frozen VAE the reference swaps in, train_unet.py:68-73).
+    2. ``{pretrained_dir}/vae.pt`` — a reference-format from-scratch
+       AutoEncoderKL torch checkpoint (converted via utils.torch_port).
+    Returns (module, params, tag) or None.
+    """
+    import os
+
+    if not pretrained_dir:
+        return None
+    vae_dir = os.path.join(pretrained_dir, "vae")
+    if os.path.isdir(vae_dir):
+        from stable_diffusion_pytorch_tpu.models.diffusers_vae import (
+            load_diffusers_vae,
+        )
+
+        loaded = load_diffusers_vae(vae_dir, dtype=dtype)
+        if loaded is not None:
+            module, params = loaded
+            if module.latent_channels != model_cfg.autoencoder.latent_channels and logger:
+                logger.warning(
+                    f"pretrained VAE latent_channels={module.latent_channels} "
+                    f"overrides --latent-channels={model_cfg.autoencoder.latent_channels}"
+                )
+            return module, params, f"diffusers AutoencoderKL from {vae_dir}"
+    pt_path = os.path.join(pretrained_dir, "vae.pt")
+    if os.path.exists(pt_path):
+        from stable_diffusion_pytorch_tpu.utils.torch_port import (
+            convert_reference_autoencoder,
+            load_reference_checkpoint,
+        )
+
+        module = AutoEncoderKL.from_config(model_cfg.autoencoder, dtype=dtype)
+        params = convert_reference_autoencoder(
+            load_reference_checkpoint(pt_path), model_cfg.autoencoder
+        )
+        return module, params, f"reference-format AutoEncoderKL from {pt_path}"
+    return None
+
+
+def _try_load_pretrained_unet(pretrained_dir, unet_cfg, latent_channels, logger):
+    """``{pretrained_dir}/unet.pt``: a reference-format UNet torch checkpoint
+    converted to our tree (utils.torch_port). Returns params or None."""
+    import os
+
+    if not pretrained_dir:
+        return None
+    pt_path = os.path.join(pretrained_dir, "unet.pt")
+    if not os.path.exists(pt_path):
+        return None
+    from stable_diffusion_pytorch_tpu.utils.torch_port import (
+        convert_reference_unet,
+        load_reference_checkpoint,
+    )
+
+    return convert_reference_unet(
+        load_reference_checkpoint(pt_path), unet_cfg, latent_channels
+    )
+
+
 def build_models(
     model_cfg,
     logger=None,
@@ -47,12 +110,23 @@ def build_models(
     seed: int = 0,
     init_image_size: int = 64,
     remat: bool = False,
+    pretrained_dir: Optional[str] = "__from_clip_cfg__",
 ) -> LatentDiffusion:
     """DDPM schedule + UNet + frozen CLIP + AutoEncoderKL -> LatentDiffusion
     (model_utils.py:29-49). Params are initialized here (spatial dims of the
-    init inputs don't affect parameter shapes)."""
+    init inputs don't affect parameter shapes).
+
+    Pretrained weights: when ``pretrained_dir`` (default: the CLIP config's
+    ``model_dir``, i.e. ``data/pretrained``) holds locally staged weights they
+    are loaded and logged loudly — ``vae/`` (diffusers format, the frozen VAE
+    of train_unet.py:68-73), ``vae.pt`` / ``unet.pt`` (reference-format torch
+    checkpoints), ``text_encoder/`` (HF CLIP, handled inside CLIPModel). Pass
+    ``pretrained_dir=None`` to force random initialization.
+    """
     if compat is not None and hasattr(compat, "resolved"):
         compat = compat.resolved()
+    if pretrained_dir == "__from_clip_cfg__":
+        pretrained_dir = model_cfg.clip.model_dir
 
     schedule = make_schedule(model_cfg.ddpm)
 
@@ -64,7 +138,6 @@ def build_models(
         dtype=dtype,
         remat=remat,
     )
-    autoencoder = AutoEncoderKL.from_config(model_cfg.autoencoder, compat=compat, dtype=dtype)
     text_encoder = CLIPModel(model_cfg.clip, dtype=dtype)
 
     key = jax.random.PRNGKey(seed)
@@ -77,17 +150,51 @@ def build_models(
     )
     dummy_t = jnp.zeros((1,), jnp.int32)
     dummy_ctx = jnp.zeros((1, model_cfg.clip.max_seq_len, model_cfg.unet.context_dim), dtype)
-    unet_params = unet.init(k_unet, dummy_latent, dummy_t, dummy_ctx)
 
-    dummy_img = jnp.zeros(
-        (1, init_image_size, init_image_size, model_cfg.autoencoder.in_channels), dtype
+    unet_params = _try_load_pretrained_unet(
+        pretrained_dir, model_cfg.unet, model_cfg.autoencoder.latent_channels, logger
     )
-    vae_params = autoencoder.init(k_vae, dummy_img)
+    unet_pretrained = unet_params is not None
+    if unet_params is None:
+        unet_params = unet.init(k_unet, dummy_latent, dummy_t, dummy_ctx)
+
+    vae_loaded = _try_load_pretrained_vae(pretrained_dir, model_cfg, dtype, logger)
+    if vae_loaded is not None:
+        autoencoder, vae_params, vae_tag = vae_loaded
+    else:
+        autoencoder = AutoEncoderKL.from_config(
+            model_cfg.autoencoder, compat=compat, dtype=dtype
+        )
+        dummy_img = jnp.zeros(
+            (1, init_image_size, init_image_size, model_cfg.autoencoder.in_channels),
+            dtype,
+        )
+        vae_params = autoencoder.init(k_vae, dummy_img)
+        vae_tag = None
 
     if logger is not None:
         count_params(unet_params, "UNetModel", logger)
         count_params(text_encoder.params, "CLIPModel", logger)
         count_params(vae_params, "AutoEncoderKL", logger)
+        loaded = [
+            name
+            for name, ok in [
+                ("unet", unet_pretrained),
+                ("vae", vae_tag is not None),
+                ("clip", text_encoder.pretrained),
+            ]
+            if ok
+        ]
+        missing = [n for n in ("unet", "vae", "clip") if n not in loaded]
+        logger.info(
+            f"pretrained weights loaded: {loaded or 'NONE'}"
+            + (f" ({vae_tag})" if vae_tag else "")
+        )
+        if missing:
+            logger.warning(
+                f"pretrained weights NOT found for {missing} under "
+                f"{pretrained_dir!r} — these components are randomly initialized"
+            )
 
     return LatentDiffusion(
         unet,

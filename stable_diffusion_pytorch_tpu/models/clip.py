@@ -210,6 +210,29 @@ def _load_hf_tokenizer(name: str, cache_dir: Optional[str]):
         return None
 
 
+def _resolve_tokenizer(cfg: ClipConfig):
+    """Tokenizer resolution, best first:
+
+    1. HF ``CLIPTokenizer`` when the hub layout is cached under model_dir.
+    2. Our CLIP BPE with staged ``{model_dir}/tokenizer/vocab.json``+merges
+       (token-for-token HF-equal, tests/test_bpe.py).
+    3. Our CLIP BPE with the byte-level zero-merge base vocab — ids 0-511 are
+       real CLIP ids (character-level segmentation), fully offline.
+    """
+    hf = _load_hf_tokenizer(cfg.tokenizer, cfg.model_dir)
+    if hf is not None:
+        return hf
+    from stable_diffusion_pytorch_tpu.models.bpe import CLIPBPETokenizer
+
+    if cfg.model_dir:
+        vocab = os.path.join(cfg.model_dir, "tokenizer", "vocab.json")
+        if os.path.exists(vocab):
+            return CLIPBPETokenizer.from_dir(
+                os.path.join(cfg.model_dir, "tokenizer"), cfg.max_seq_len
+            )
+    return CLIPBPETokenizer(max_seq_len=cfg.max_seq_len)
+
+
 def load_clip_params(model_dir: str) -> Optional[dict]:
     """Convert a locally cached HF CLIPTextModel checkpoint to our param tree.
 
@@ -287,10 +310,7 @@ class CLIPModel:
         self.cfg = cfg
         self.max_seq_len = cfg.max_seq_len
         self.module = CLIPTextTransformer(max_positions=cfg.max_seq_len, dtype=dtype)
-        self.tokenizer = (
-            _load_hf_tokenizer(cfg.tokenizer, cfg.model_dir)
-            or HashTokenizer(cfg.max_seq_len)
-        )
+        self.tokenizer = _resolve_tokenizer(cfg)
         params = load_clip_params(cfg.model_dir) if cfg.model_dir else None
         if params is None:
             import warnings

@@ -227,6 +227,12 @@ class DiffusersAutoencoderKL(nn.Module):
     def downsample_factor(self) -> int:
         return 2 ** (len(self.block_out_channels) - 1)
 
+    @property
+    def channels_list(self) -> Tuple[int, ...]:
+        """Alias so LatentDiffusion/pipeline shape math treats this module
+        interchangeably with the from-scratch AutoEncoderKL."""
+        return self.block_out_channels
+
 
 # --------------------------------------------------------------------------- #
 # weight conversion (diffusers state_dict -> our NHWC param tree)

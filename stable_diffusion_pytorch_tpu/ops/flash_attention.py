@@ -36,9 +36,14 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
+_LOG2E = 1.4426950408889634
+
+
+def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, use_exp2: bool):
     # scale is pre-folded into q (one pass over the small q instead of a
-    # [BLOCK_N, M] f32 multiply over the scores every tile)
+    # [BLOCK_N, M] f32 multiply over the scores every tile); with use_exp2 the
+    # log2(e) factor is folded there too and the softmax runs on exp2 directly
+    # (one fewer VPU op per score element than the exp lowering)
     q = q_ref[0]  # [BLOCK_N, Dp]
     k = k_ref[0]  # [Mp, Dp]
     v = v_ref[0]  # [Mp, Dp]
@@ -50,7 +55,7 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int):
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
         s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
     m = jnp.max(s, axis=-1, keepdims=True)
-    p = jnp.exp(s - m)
+    p = jnp.exp2(s - m) if use_exp2 else jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     # defer the 1/l normalization to the [BLOCK_N, D] output (D << M): saves a
     # full f32 pass over the score tile on the VPU
@@ -110,13 +115,17 @@ def _flash_fwd_impl(
             x, ((0, 0), (0, length_pad - length), (0, d_pad - d))
         )
 
-    qb = to_bhnd(q, n, n_pad) * jnp.asarray(scale, dtype)
+    import os
+
+    use_exp2 = os.environ.get("SD_FLASH_EXP2", "1") == "1"
+    q_scale = scale * _LOG2E if use_exp2 else scale
+    qb = to_bhnd(q, n, n_pad) * jnp.asarray(q_scale, dtype)
     kb = to_bhnd(k, m, m_pad)
     vb = to_bhnd(v, m, m_pad)
 
     grid = (b * h, n_pad // block_n)
     out = pl.pallas_call(
-        functools.partial(_fa_kernel, kv_len=m),
+        functools.partial(_fa_kernel, kv_len=m, use_exp2=use_exp2),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, block_n, d_pad), lambda bh, i: (bh, i, 0)),
