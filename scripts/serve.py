@@ -1,19 +1,23 @@
 #!/usr/bin/env python
-"""Minimal production-style txt2img HTTP server.
+"""Production-style txt2img HTTP server with request batching.
 
-The framework's serving shape: the model is built and jitted once at startup;
-requests of the same (size, steps, sampler, guidance) signature reuse the
-compiled program (LatentDiffusion's jit cache). TPU access is serialized — the
-chip is single-tenant — so requests are processed one at a time behind a lock.
+Serving shape: the model is built and jitted once at startup; a single batcher
+thread owns the (single-tenant) accelerator. Incoming requests enqueue; the
+batcher groups same-signature requests (image_size, steps, sampler, guidance)
+arriving within a short window, pads the group to a power-of-two bucket
+(bounded compile-cache growth), runs ONE batched sampling program, and fans the
+images back out. Per-request seeds drive per-row init noise, so a request's
+image is identical whether it was served solo or co-batched (ddim default;
+stochastic samplers share the in-loop key across a batch).
 
 API:
-    GET  /healthz                    -> {"status": "ok", ...}
+    GET  /healthz                    -> {"status": "ok", "queue_depth": N, ...}
     POST /txt2img  {"prompt": ...}   -> image/png
         optional fields: negative_prompt, steps, guidance_scale, seed,
         sampler (ddim|ddpm|dpmpp), image_size
 
 Example:
-    python scripts/serve.py --port 8500 &
+    python scripts/serve.py --port 8500 --max-batch 4 &
     curl -X POST localhost:8500/txt2img -d '{"prompt": "a cat"}' -o cat.png
 """
 
@@ -21,6 +25,7 @@ import io
 import json
 import logging
 import os
+import queue
 import sys
 import threading
 from dataclasses import dataclass, field
@@ -44,14 +49,47 @@ class ServeConfig(BaseConfig):
     port: int = field(default=8500, metadata={"help": "bind port."})
     default_steps: int = field(default=50, metadata={"help": "default sampling steps."})
     default_image_size: int = field(default=64, metadata={"help": "default resolution."})
+    max_batch: int = field(
+        default=4, metadata={"help": "max requests fused into one device batch."}
+    )
+    batch_window_ms: int = field(
+        default=20,
+        metadata={"help": "how long the batcher waits for same-signature requests."},
+    )
     warmup: bool = field(
         default=False,
         metadata={"help": "compile the default request signature at startup."},
     )
 
 
+class _Pending:
+    __slots__ = ("req", "event", "result", "error")
+
+    def __init__(self, req: dict):
+        self.req = req
+        self.event = threading.Event()
+        self.result = None
+        self.error = None
+
+
+def _signature(req: dict, cfg) -> tuple:
+    return (
+        int(req.get("image_size", cfg.serve.default_image_size)),
+        int(req.get("steps", cfg.serve.default_steps)),
+        str(req.get("sampler", "ddim")),
+        float(req.get("guidance_scale", cfg.train.guidance_scale)),
+    )
+
+
+def _bucket(n: int, max_batch: int) -> int:
+    b = 1
+    while b < n:
+        b *= 2
+    return min(b, max_batch)
+
+
 class SDService:
-    """Model owner: builds once, serializes device access, renders PNGs."""
+    """Model owner: builds once; one batcher thread drives the device."""
 
     def __init__(self, cfg, compat, dtype):
         from stable_diffusion_pytorch_tpu.models.build import build_models
@@ -65,33 +103,107 @@ class SDService:
             seed=cfg.train.seed,
             init_image_size=cfg.serve.default_image_size,
         )
-        self.lock = threading.Lock()
+        self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self.requests_served = 0
+        self.batches_run = 0
+        self._shutdown = False
+        self.batcher = threading.Thread(target=self._batch_loop, daemon=True)
+        self.batcher.start()
 
-    def txt2img_png(self, req: dict) -> bytes:
-        from PIL import Image
+    # ------------------------------------------------------------------ #
+    # batcher
+    # ------------------------------------------------------------------ #
 
+    def _batch_loop(self) -> None:
+        window_s = self.cfg.serve.batch_window_ms / 1000.0
+        max_batch = self.cfg.serve.max_batch
+        while not self._shutdown:
+            try:
+                first = self.queue.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            if first is None:  # shutdown sentinel
+                break
+            sig = _signature(first.req, self.cfg)
+            group = [first]
+            deferred = []
+            deadline = window_s
+            # collect same-signature requests within the batching window
+            while len(group) < max_batch:
+                try:
+                    nxt = self.queue.get(timeout=deadline)
+                except queue.Empty:
+                    break
+                if nxt is None:
+                    self._shutdown = True
+                    break
+                if _signature(nxt.req, self.cfg) == sig:
+                    group.append(nxt)
+                else:
+                    deferred.append(nxt)
+            for d in deferred:  # different signature: back on the queue
+                self.queue.put(d)
+            self._run_group(sig, group)
+
+    def _run_group(self, sig: tuple, group: list) -> None:
         from stable_diffusion_pytorch_tpu.pipeline import sample
 
-        with self.lock:  # single-tenant accelerator
+        image_size, steps, sampler, guidance = sig
+        bucket = _bucket(len(group), self.cfg.serve.max_batch)
+        prompts = [str(p.req.get("prompt", "")) for p in group]
+        seeds = [int(p.req.get("seed", self.cfg.train.seed)) for p in group]
+        # pad to the bucket so the compile cache stays bounded (pow-2 buckets)
+        while len(prompts) < bucket:
+            prompts.append(prompts[0])
+            seeds.append(seeds[0])
+        negative = str(group[0].req.get("negative_prompt", ""))
+        try:
             outs = sample(
                 self.model,
-                image_size=int(req.get("image_size", self.cfg.serve.default_image_size)),
-                prompt=str(req.get("prompt", "")),
-                negative_prompt=str(req.get("negative_prompt", "")),
-                time_steps=int(req.get("steps", self.cfg.serve.default_steps)),
-                guidance_scale=float(
-                    req.get("guidance_scale", self.cfg.train.guidance_scale)
-                ),
-                sampler=str(req.get("sampler", "ddim")),
-                num_images=1,
-                seed=int(req.get("seed", self.cfg.train.seed)),
+                image_size=image_size,
+                prompt=prompts,
+                negative_prompt=negative,
+                time_steps=steps,
+                guidance_scale=guidance,
+                sampler=sampler,
+                seed=seeds,
                 save_dir=None,
             )
-            self.requests_served += 1
+            for pending, img in zip(group, outs):
+                pending.result = img
+                pending.event.set()
+            self.requests_served += len(group)
+            self.batches_run += 1
+            if len(group) > 1:
+                logger.info(
+                    f"batched {len(group)} requests (bucket {bucket}, sig {sig})"
+                )
+        except Exception as e:  # noqa: BLE001 — fan the error out, keep serving
+            logger.exception("batch failed")
+            for pending in group:
+                pending.error = e
+                pending.event.set()
+
+    # ------------------------------------------------------------------ #
+    # request surface
+    # ------------------------------------------------------------------ #
+
+    def txt2img_png(self, req: dict, timeout: float = 600.0) -> bytes:
+        from PIL import Image
+
+        pending = _Pending(req)
+        self.queue.put(pending)
+        if not pending.event.wait(timeout):
+            raise TimeoutError("sampling timed out")
+        if pending.error is not None:
+            raise pending.error
         buf = io.BytesIO()
-        Image.fromarray(outs[0]).save(buf, format="PNG")
+        Image.fromarray(pending.result).save(buf, format="PNG")
         return buf.getvalue()
+
+    def stop(self) -> None:
+        self._shutdown = True
+        self.queue.put(None)
 
 
 def make_handler(service: SDService):
@@ -112,6 +224,9 @@ def make_handler(service: SDService):
                     {
                         "status": "ok",
                         "requests_served": service.requests_served,
+                        "batches_run": service.batches_run,
+                        "queue_depth": service.queue.qsize(),
+                        "max_batch": service.cfg.serve.max_batch,
                         "samplers": ["ddim", "ddpm", "dpmpp"],
                     }
                 ).encode()
@@ -173,6 +288,7 @@ def main(argv=None):
         server.serve_forever()
     except KeyboardInterrupt:
         logger.info("shutting down")
+        service.stop()
         server.shutdown()
 
 

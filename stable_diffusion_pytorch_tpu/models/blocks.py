@@ -29,6 +29,7 @@ from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 from flax import struct
 
@@ -154,8 +155,46 @@ def conv1x1(
     )
 
 
+class _Conv3x3Params(nn.Module):
+    """Holds a canonical [3, 3, C_in, C_out] conv kernel + bias under the same
+    param names nn.Conv would create (so checkpoints/converters are unchanged)
+    while letting the caller apply the weights in a transformed form."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (3, 3, in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", zeros_init, (self.features,), jnp.float32)
+        return kernel, bias
+
+
+# phase collapse matrices: nearest-up duplicates each source row/col, so for
+# output phase d the three 3x3 kernel taps land on two source rows as
+# A_0 = [[1,0,0],[0,1,1]], A_1 = [[1,1,0],[0,0,1]] (identically for columns)
+_PHASE_A = np.array(
+    [[[1.0, 0.0, 0.0], [0.0, 1.0, 1.0]], [[1.0, 1.0, 0.0], [0.0, 0.0, 1.0]]],
+    np.float32,
+)
+
+
 class UpSample(nn.Module):
-    """Nearest x2 upsample + 3x3 conv (resnet2d.py:9-63)."""
+    """Nearest x2 upsample + 3x3 conv (resnet2d.py:9-63).
+
+    Computed via the exact phase decomposition: nearest-up duplicates every
+    source pixel 2x2, so the 3x3 conv over the upsampled map re-multiplies the
+    same inputs — collapsing duplicated taps gives ONE 2x2 conv producing 4
+    output phases that are interleaved back. 16 tap-multiplies per source
+    pixel instead of 36 (44% of the FLOPs) and no [2H, 2W] nearest-upsampled
+    input materialization. Identical math up to float associativity (adjacent
+    kernel taps are pre-summed in f32). ``scale_factor != 2`` falls back to
+    the direct path.
+    """
 
     out_channels: Optional[int] = None
     scale_factor: int = 2
@@ -165,9 +204,36 @@ class UpSample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         b, h, w, c = x.shape
         out_ch = self.out_channels or c
-        # nearest-neighbor x2: identical to torch F.interpolate(mode="nearest")
-        x = jnp.repeat(jnp.repeat(x, self.scale_factor, axis=1), self.scale_factor, axis=2)
-        return conv3x3(out_ch, dtype=self.dtype, name="conv")(x)
+        if self.scale_factor != 2:
+            x = jnp.repeat(
+                jnp.repeat(x, self.scale_factor, axis=1), self.scale_factor, axis=2
+            )
+            return conv3x3(out_ch, dtype=self.dtype, name="conv")(x)
+
+        kernel, bias = _Conv3x3Params(out_ch, name="conv")(c)
+        a = jnp.asarray(_PHASE_A)
+        # [2(p), 2(q), C_in, 2(di), 2(dj), C_out] — phase kernels in f32
+        k4 = jnp.einsum("dpk,eql,klio->pqideo", a, a, kernel)
+        k4 = k4.reshape(2, 2, c, 4 * out_ch).astype(self.dtype)
+
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            k4,
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )  # [B, H+1, W+1, 4*C_out]
+        out = out.reshape(b, h + 1, w + 1, 2, 2, out_ch)
+        # interleave phases: y[b, 2i+di, 2j+dj] = out[b, i+di, j+dj, di, dj]
+        rows = []
+        for di in range(2):
+            cols = [
+                out[:, di : h + di, dj : w + dj, di, dj, :] for dj in range(2)
+            ]
+            rows.append(jnp.stack(cols, axis=3))  # [B, H, W, 2, C]
+        y = jnp.stack(rows, axis=2)  # [B, H, 2, W, 2, C]
+        y = y.reshape(b, 2 * h, 2 * w, out_ch)
+        return (y + bias.astype(self.dtype)).astype(self.dtype)
 
 
 class DownSample(nn.Module):

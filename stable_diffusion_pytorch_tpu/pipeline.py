@@ -203,7 +203,7 @@ def inpaint(
 def sample(
     model: LatentDiffusion,
     image_size: int = 64,
-    prompt: str = "",
+    prompt="",
     time_steps: int = 50,
     guidance_scale: float = 7.5,
     scale_factor: float = 1.0,
@@ -212,26 +212,54 @@ def sample(
     eta: float = 0.0,
     num_images: int = 1,
     repeat_noise: bool = False,
-    seed: int = 42,
+    seed=42,
     name: str = "txt2img",
     negative_prompt: str = "",
 ) -> List[np.ndarray]:
-    """Sample image(s) for a prompt; returns HWC uint8 arrays and saves PNGs.
+    """Sample image(s); returns HWC uint8 arrays and saves PNGs.
 
     Call surface mirrors the reference ``sample`` (scripts/txt2img.py:14-48).
+    Batched serving extension: ``prompt`` may be a LIST of prompts (then
+    ``num_images = len(prompt)``) and ``seed`` a list of per-request seeds —
+    each batch row draws its init noise from its own seed, so a request's
+    image is identical whether it was served solo or co-batched.
     """
-    key = jax.random.PRNGKey(seed)
-    k_init, k_loop = jax.random.split(key)
+    if isinstance(prompt, (list, tuple)):
+        prompts = list(prompt)
+        num_images = len(prompts)
+    else:
+        prompts = [prompt] * num_images
 
     shape = model.latent_shape(num_images, image_size)
-    if model.compat is not None and model.compat.uniform_init_noise:
-        noise = jax.random.uniform(k_init, shape)  # reference quirk (txt2img.py:33)
+    uniform_init = model.compat is not None and model.compat.uniform_init_noise
+    if isinstance(seed, (list, tuple)):
+        # batched serving: each row draws from ITS OWN seed, so a request's
+        # image is identical whether served solo or co-batched
+        assert len(seed) == num_images, "one seed per image"
+        row_shape = (1,) + tuple(shape[1:])
+        rows, loop_keys = [], []
+        for s in seed:
+            k_init, k_loop = jax.random.split(jax.random.PRNGKey(int(s)))
+            rows.append(
+                jax.random.uniform(k_init, row_shape)  # quirk (txt2img.py:33)
+                if uniform_init
+                else jax.random.normal(k_init, row_shape)
+            )
+            loop_keys.append(k_loop)
+        noise = jnp.concatenate(rows, axis=0)
+        k_loop = loop_keys[0]
     else:
-        noise = jax.random.normal(k_init, shape)
+        key = jax.random.PRNGKey(seed)
+        k_init, k_loop = jax.random.split(key)
+        noise = (
+            jax.random.uniform(k_init, shape)  # reference quirk (txt2img.py:33)
+            if uniform_init
+            else jax.random.normal(k_init, shape)
+        )
     dtype = model.unet.dtype
     noise = noise.astype(dtype)
 
-    context_emb = model.encode_prompts([prompt] * num_images).astype(dtype)
+    context_emb = model.encode_prompts(prompts).astype(dtype)
 
     x_0 = model.sample(
         noised_sample=noise,

@@ -12,6 +12,7 @@ TINY_ARGS = [
     "--channels-list", "16,32", "--n-heads", "4", "--time-emb-dim", "32",
     "--n-layers", "1", "--autoencoder-channels-list", "8,16", "--groups", "4",
     "--noise-steps", "20", "--default-image-size", "16", "--default-steps", "3",
+    "--max-batch", "4", "--batch-window-ms", "200",
 ]
 
 
@@ -60,6 +61,41 @@ def test_txt2img_returns_png_and_is_deterministic(server_url):
     assert body2 == body
     _, _, body3 = _post(server_url + "/txt2img", {"prompt": "a red circle", "seed": 8})
     assert body3 != body
+
+
+def test_concurrent_requests_are_batched_and_row_identical(server_url):
+    """Same-signature concurrent requests fuse into one device batch, and each
+    request's image is IDENTICAL to its solo render (per-row seeds)."""
+    import urllib.request as _u
+
+    seeds = [11, 12, 13, 14]
+    solo = {}
+    for s in seeds:  # sequential baselines (bucket-1 program)
+        _, _, body = _post(server_url + "/txt2img", {"prompt": "a cat", "seed": s})
+        solo[s] = body
+
+    with _u.urlopen(server_url + "/healthz", timeout=30) as resp:
+        before = json.loads(resp.read())
+
+    results = {}
+    def worker(s):
+        _, _, body = _post(server_url + "/txt2img", {"prompt": "a cat", "seed": s})
+        results[s] = body
+
+    threads = [threading.Thread(target=worker, args=(s,)) for s in seeds]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=600)
+
+    with _u.urlopen(server_url + "/healthz", timeout=30) as resp:
+        after = json.loads(resp.read())
+
+    assert after["requests_served"] - before["requests_served"] == 4
+    batches = after["batches_run"] - before["batches_run"]
+    assert batches < 4, f"no batching happened ({batches} batches for 4 requests)"
+    for s in seeds:
+        assert results[s] == solo[s], f"seed {s}: batched image != solo image"
 
 
 def test_bad_sampler_is_400_json(server_url):

@@ -1,0 +1,238 @@
+#!/usr/bin/env python
+"""FID evaluation: a NUMBER for "FID parity vs the PyTorch reference".
+
+Offline protocol (no pretrained weights exist in this environment, so the
+comparison runs at tiny scale with SHARED converted weights — it measures
+*sampler/numerics* distributional parity, which is exactly the part of FID
+parity our framework controls; plug staged SD-1.5 weights + Inception features
+into the same harness for the canonical number):
+
+1. Build the reference torch stack (UNet + VAE + DDPMScheduler, seeded) by
+   importing /root/reference, and convert its weights into our models.
+2. Sample N images from (a) the reference sampler, (b) our REFERENCE-COMPAT
+   scan (same quirky math), (c) our DEFAULT stack (correct math: descending
+   loop, standard CFG, Gaussian init noise).
+3. VAE-proxy FID (utils/fid.py) between the sets, plus a same-distribution
+   noise floor (two disjoint halves of the reference set).
+
+Interpretation: fid(ref, compat) at or near the noise floor = numeric parity;
+fid(ref, default) larger = the (intentional) correct-math divergence.
+
+Prints ONE JSON line. Env: FID_N (64), FID_STEPS (10), FID_RES (32).
+"""
+
+import json
+import os
+import sys
+from types import SimpleNamespace
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
+sys.path.insert(0, "/root/reference")
+
+
+def main() -> dict:
+    # CPU is the right target: tiny models, torch reference runs on CPU
+    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    from stable_diffusion_pytorch_tpu.utils.platform import ensure_platform
+
+    ensure_platform()
+
+    import numpy as np
+    import torch
+
+    import jax
+    import jax.numpy as jnp
+
+    from stable_diffusion.models.autoencoder import AutoEncoderKL as RefVAE
+    from stable_diffusion.models.latent_diffusion import LatentDiffusion as RefLD
+    from stable_diffusion.models.scheduler import DDPMScheduler as RefSched
+    from stable_diffusion.models.unet import UNetModel as RefUNet
+
+    from stable_diffusion_pytorch_tpu.models.autoencoder import (
+        AutoEncoderKL,
+        AutoencoderConfig,
+    )
+    from stable_diffusion_pytorch_tpu.models.latent_diffusion import make_sample_fn
+    from stable_diffusion_pytorch_tpu.models.schedule import DDPMConfig, make_schedule
+    from stable_diffusion_pytorch_tpu.models.unet import UNetModel, UnetConfig
+    from stable_diffusion_pytorch_tpu.utils.compat import CompatConfig
+    from stable_diffusion_pytorch_tpu.utils.fid import (
+        VAEFeatureExtractor,
+        fid_between,
+    )
+    from stable_diffusion_pytorch_tpu.utils.torch_port import (
+        convert_reference_autoencoder,
+        convert_reference_unet,
+    )
+
+    n_images = int(os.environ.get("FID_N", "64"))
+    steps = int(os.environ.get("FID_STEPS", "10"))
+    res = int(os.environ.get("FID_RES", "32"))
+    batch = 8
+    ctx_dim = 24
+
+    unet_kwargs = dict(
+        num_res_blocks=1, n_heads=4, attention_resolutions=[1],
+        channels_list=[16, 32], time_emb_dim=32, dropout=0.0, n_layers=1,
+        context_dim=ctx_dim,
+    )
+    vae_cfg = AutoencoderConfig(
+        autoencoder_channels_list=[8, 16], groups=4, latent_channels=4
+    )
+
+    torch.manual_seed(0)
+    ref_unet = RefUNet(4, 4, SimpleNamespace(**unet_kwargs)).eval()
+    ref_vae = RefVAE(
+        SimpleNamespace(
+            in_channels=3, latent_channels=4, out_channels=3,
+            autoencoder_channels_list=[8, 16], autoencoder_num_res_blocks=2,
+            groups=4, kl_weight=1.0,
+        )
+    ).eval()
+    sched_cfg = SimpleNamespace(
+        noise_schedule="linear", noise_steps=50, beta_start=1e-4, beta_end=0.02
+    )
+
+    unet_sd = {k: v.numpy() for k, v in ref_unet.state_dict().items()}
+    vae_sd = {k: v.numpy() for k, v in ref_vae.state_dict().items()}
+    unet_cfg = UnetConfig(**unet_kwargs)
+    our_unet_params = convert_reference_unet(unet_sd, unet_cfg, 4)
+    our_vae_params = convert_reference_autoencoder(vae_sd, vae_cfg)
+
+    rng = np.random.default_rng(0)
+    lat = res // 2  # f2 VAE
+    # a fixed prompt-embedding bank: the conditioning distribution both stacks see
+    ctx_bank = rng.standard_normal((n_images, 7, ctx_dim)).astype(np.float32)
+    uncond = rng.standard_normal((1, 7, ctx_dim)).astype(np.float32)
+
+    # ---------------- reference samples (torch) ---------------- #
+    class FakeTextEncoder:
+        def tokenize(self, prompts, **kw):
+            return SimpleNamespace(
+                input_ids=torch.zeros((len(prompts), 7), dtype=torch.long)
+            )
+
+        def encode_text(self, ids):
+            return [torch.from_numpy(uncond).expand(ids.shape[0], -1, -1)]
+
+    ref_model = RefLD(
+        ref_unet, ref_vae, FakeTextEncoder(), RefSched(sched_cfg)
+    ).eval()
+
+    def ref_sample_batch(ctx: np.ndarray, seed: int):
+        torch.manual_seed(seed)
+        b = ctx.shape[0]
+        noise = torch.rand(b, 4, lat, lat)  # reference quirk: uniform init noise
+        with torch.no_grad():
+            x0 = ref_model.sample(
+                noised_sample=noise,
+                context_emb=torch.from_numpy(ctx),
+                guidance_scale=7.5,
+                time_steps=steps,
+            )
+            img = ref_vae.decode(x0)
+        return (
+            np.transpose(img.numpy(), (0, 2, 3, 1)),
+            np.transpose(x0.numpy(), (0, 2, 3, 1)),
+        )
+
+    ref_images, ref_latents = [], []
+    for i in range(0, n_images, batch):
+        img, z = ref_sample_batch(ctx_bank[i : i + batch], seed=1000 + i)
+        ref_images.extend(img)
+        ref_latents.extend(z)
+    # a second, independent reference set for the noise floor
+    ref_images_b, ref_latents_b = [], []
+    for i in range(0, n_images, batch):
+        img, z = ref_sample_batch(ctx_bank[i : i + batch], seed=7000 + i)
+        ref_images_b.extend(img)
+        ref_latents_b.extend(z)
+
+    # ---------------- our samples (jax) ---------------- #
+    our_vae = AutoEncoderKL.from_config(vae_cfg)
+    schedule = make_schedule(DDPMConfig(noise_steps=50))
+
+    def our_sample_set(compat: bool, seed: int):
+        if compat:
+            cc = CompatConfig(reference_compat=True).resolved()
+            unet = UNetModel.from_config(4, 4, unet_cfg, compat=cc)
+            fn = make_sample_fn(
+                unet, schedule, num_steps=steps, sampler="ddpm",
+                guidance_scale=7.5, reference_cfg_formula=True,
+                ascending_loop=True, leading_timesteps=True,
+            )
+        else:
+            unet = UNetModel.from_config(4, 4, unet_cfg)
+            fn = make_sample_fn(
+                unet, schedule, num_steps=steps, sampler="ddim",
+                guidance_scale=7.5,
+            )
+        fn = jax.jit(fn)
+        decode = jax.jit(
+            lambda p, z: our_vae.apply(p, z, method=our_vae.decode)
+        )
+        key = jax.random.PRNGKey(seed)
+        out, lats = [], []
+        for i in range(0, n_images, batch):
+            ctx = jnp.asarray(ctx_bank[i : i + batch])
+            k = jax.random.fold_in(key, i)
+            b = ctx.shape[0]
+            if compat:  # reference uniform-noise init quirk
+                x_T = jax.random.uniform(k, (b, lat, lat, 4))
+            else:
+                x_T = jax.random.normal(k, (b, lat, lat, 4))
+            unc = jnp.broadcast_to(jnp.asarray(uncond), ctx.shape)
+            x0 = fn(our_unet_params, x_T, ctx, unc, k)
+            out.extend(np.asarray(decode(our_vae_params, x0), np.float32))
+            lats.extend(np.asarray(x0, np.float32))
+        return out, lats
+
+    compat_images, compat_latents = our_sample_set(compat=True, seed=42)
+    default_images, default_latents = our_sample_set(compat=False, seed=42)
+
+    # image-space features through the shared VAE encoder (random projection)
+    extractor = VAEFeatureExtractor(our_vae, our_vae_params)
+
+    # latent-space features: the sampler's raw output distribution — the most
+    # discriminating view when weights are random (a random VAE decode
+    # compresses everything toward its biases)
+    def latent_features(latents) -> np.ndarray:
+        z = np.stack(latents).astype(np.float64)  # [N, h, w, 4]
+        n, hh, ww, cc = z.shape
+        pool = 4
+        ph = hh // pool
+        z = z[:, : ph * pool, : ph * pool]
+        z = z.reshape(n, pool, ph, pool, ph, cc).mean(axis=(2, 4))
+        return z.reshape(n, -1)
+
+    from stable_diffusion_pytorch_tpu.utils.fid import fid_from_features
+
+    def _finite(x: float):
+        # image-space proxy numbers can degenerate with random weights (a
+        # random decoder collapses everything toward its biases; covariances
+        # go singular) — report null rather than invalid-JSON NaN
+        return round(x, 4) if np.isfinite(x) else None
+
+    result = {
+        "metric": "fid_vae_proxy",
+        "n_images": n_images,
+        "steps": steps,
+        "fid_ref_vs_ref": _finite(fid_between(extractor, ref_images, ref_images_b)),
+        "fid_ref_vs_compat": _finite(fid_between(extractor, ref_images, compat_images)),
+        "fid_ref_vs_default": _finite(fid_between(extractor, ref_images, default_images)),
+        "fid_latent_ref_vs_ref": _finite(
+            fid_from_features(latent_features(ref_latents), latent_features(ref_latents_b))
+        ),
+        "fid_latent_ref_vs_compat": _finite(
+            fid_from_features(latent_features(ref_latents), latent_features(compat_latents))
+        ),
+        "fid_latent_ref_vs_default": _finite(
+            fid_from_features(latent_features(ref_latents), latent_features(default_latents))
+        ),
+    }
+    print(json.dumps(result), flush=True)
+    return result
+
+
+if __name__ == "__main__":
+    main()
