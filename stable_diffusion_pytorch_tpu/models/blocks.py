@@ -292,6 +292,23 @@ class ResBlock(nn.Module):
         return h + x
 
 
+class _DenseKernel(nn.Module):
+    """A bias-free Dense's parameter (same tree: {name: {kernel}}) without the
+    apply — lets self-attention fuse Q/K/V into one matmul at apply time while
+    keeping the canonical per-projection checkpoint layout."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_features: int) -> jnp.ndarray:
+        return self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (in_features, self.features),
+            jnp.float32,
+        )
+
+
 class CrossAttention(nn.Module):
     """Multi-head cross/self attention (transformer.py:18-119).
 
@@ -320,7 +337,8 @@ class CrossAttention(nn.Module):
         if convert:
             b, hh, ww, c = query.shape
             query = query.reshape(b, hh * ww, c)
-        if context_emb is None:
+        self_attention = context_emb is None
+        if self_attention:
             context_emb = query
 
         d_model = self.n_heads * self.d_head
@@ -331,9 +349,22 @@ class CrossAttention(nn.Module):
             param_dtype=jnp.float32,
             name=name,
         )
-        q = dense(d_model, "to_q")(query)
-        k = dense(d_model, "to_k")(context_emb)
-        v = dense(d_model, "to_v")(context_emb)
+        if self_attention:
+            # fused QKV: one [C, 3*d_model] matmul reads the (large) token
+            # tensor once instead of three times; parameters stay the separate
+            # to_q/to_k/to_v kernels (checkpoint/converter layout unchanged),
+            # concatenated at apply time (loop-invariant, hoisted by XLA)
+            in_ch = query.shape[-1]
+            wq = _DenseKernel(d_model, name="to_q")(in_ch)
+            wk = _DenseKernel(d_model, name="to_k")(in_ch)
+            wv = _DenseKernel(d_model, name="to_v")(in_ch)
+            w = jnp.concatenate([wq, wk, wv], axis=1).astype(self.dtype)
+            qkv = jnp.dot(query.astype(self.dtype), w)
+            q, k, v = jnp.split(qkv, 3, axis=-1)
+        else:
+            q = dense(d_model, "to_q")(query)
+            k = dense(d_model, "to_k")(context_emb)
+            v = dense(d_model, "to_v")(context_emb)
 
         b, n, _ = q.shape
         m = k.shape[1]

@@ -169,20 +169,29 @@ def _flash_bwd(scale, interpret, res, do):
     q, k, v = res
     import os
 
-    if os.environ.get("SD_FLASH_BWD", "pallas") == "xla":
+    impl = os.environ.get("SD_FLASH_BWD", "fused")
+    if impl == "xla":
         return xla_attention_bwd(q, k, v, do, scale)
+    if impl == "split":
+        from stable_diffusion_pytorch_tpu.ops.flash_attention_bwd import (
+            flash_attention_bwd,
+        )
+
+        # dkv 96: measured fastest that fits (18.9 samples/s vs 18.6 at 64;
+        # 128 OOMs the 16MB VMEM on SD's 4096-token self-attention); dq has no
+        # scratch accumulators and affords 128-row tiles
+        dkv_block = int(os.environ.get("SD_FLASH_BWD_BLOCK_N", "96"))
+        dq_block = int(os.environ.get("SD_FLASH_BWD_DQ_BLOCK_N", "128"))
+        return flash_attention_bwd(
+            q, k, v, do, scale, interpret, block_n=dkv_block, dq_block_n=dq_block
+        )
     from stable_diffusion_pytorch_tpu.ops.flash_attention_bwd import (
-        flash_attention_bwd,
+        flash_attention_bwd_fused,
     )
 
-    # dkv 96: measured fastest that fits (18.9 samples/s vs 18.6 at 64; 128
-    # OOMs the 16MB VMEM on SD's 4096-token self-attention); dq has no scratch
-    # accumulators and affords 128-row tiles
-    dkv_block = int(os.environ.get("SD_FLASH_BWD_BLOCK_N", "96"))
-    dq_block = int(os.environ.get("SD_FLASH_BWD_DQ_BLOCK_N", "128"))
-    return flash_attention_bwd(
-        q, k, v, do, scale, interpret, block_n=dkv_block, dq_block_n=dq_block
-    )
+    # fused single-pass: scores recomputed once per q-tile for dq AND dk/dv
+    block = int(os.environ.get("SD_FLASH_BWD_BLOCK_N", "96"))
+    return flash_attention_bwd_fused(q, k, v, do, scale, interpret, block_n=block)
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)

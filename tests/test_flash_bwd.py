@@ -7,11 +7,15 @@ import pytest
 
 from stable_diffusion_pytorch_tpu.ops.attention import xla_attention
 from stable_diffusion_pytorch_tpu.ops.flash_attention import flash_attention
-from stable_diffusion_pytorch_tpu.ops.flash_attention_bwd import flash_attention_bwd
+from stable_diffusion_pytorch_tpu.ops.flash_attention_bwd import (
+    flash_attention_bwd,
+    flash_attention_bwd_fused,
+)
 
 KEY = jax.random.PRNGKey(0)
 
 
+@pytest.mark.parametrize("impl", ["split", "fused"])
 @pytest.mark.parametrize(
     "n,m,h,d",
     [
@@ -20,7 +24,7 @@ KEY = jax.random.PRNGKey(0)
         (100, 100, 1, 64),  # unaligned q/kv len
     ],
 )
-def test_bwd_kernels_match_xla_grads(n, m, h, d):
+def test_bwd_kernels_match_xla_grads(n, m, h, d, impl):
     ks = jax.random.split(KEY, 4)
     q = jax.random.normal(ks[0], (2, n, h, d))
     k = jax.random.normal(ks[1], (2, m, h, d))
@@ -28,7 +32,14 @@ def test_bwd_kernels_match_xla_grads(n, m, h, d):
     do = jax.random.normal(ks[3], (2, n, h, d))
     scale = 1.0 / np.sqrt(d)
 
-    dq, dk, dv = flash_attention_bwd(q, k, v, do, scale, interpret=True, block_n=32)
+    if impl == "split":
+        dq, dk, dv = flash_attention_bwd(
+            q, k, v, do, scale, interpret=True, block_n=32
+        )
+    else:
+        dq, dk, dv = flash_attention_bwd_fused(
+            q, k, v, do, scale, interpret=True, block_n=32
+        )
 
     def loss(q, k, v):
         return jnp.sum(xla_attention(q, k, v, scale) * do)

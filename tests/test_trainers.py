@@ -229,3 +229,48 @@ def test_gradient_accumulation_multisteps():
     updates, state = tx.update(grad_of(p1), state, p1)
     p2 = optax.apply_updates(p1, updates)
     assert not np.allclose(np.asarray(p2["w"]), np.asarray(p1["w"]))  # applied
+
+
+def test_non_main_process_gets_null_tracker(tmp_path, monkeypatch):
+    """Multi-host gating: only process 0 opens the metrics stream / wandb; other
+    hosts get a no-op sink (reference logs on the main rank only,
+    train_unet.py:111-142). Injected via jax.process_index."""
+    from stable_diffusion_pytorch_tpu.config import load_config
+    from stable_diffusion_pytorch_tpu.models.autoencoder import (
+        AutoEncoderKL,
+        AutoencoderConfig,
+    )
+    from stable_diffusion_pytorch_tpu.models.bpe import CLIPBPETokenizer
+    from stable_diffusion_pytorch_tpu.trainers.trainer import AutoencoderTrainer
+    from stable_diffusion_pytorch_tpu.utils.data import (
+        DatasetConfig,
+        SyntheticTextImageDataset,
+    )
+    from stable_diffusion_pytorch_tpu.utils.tracking import NullTracker, Tracker
+
+    _, cfg = load_config(
+        ["--autoencoder-channels-list", "8,16", "--groups", "4",
+         "--resolution", "16", "--train-batch-size", "1", "--eval-batch-size", "1",
+         "--log-interval", "0", "--num-devices", "1",
+         "--logging-dir", str(tmp_path / "logs")]
+    )
+    dcfg = DatasetConfig(dataset="synthetic", resolution=16)
+    tok = CLIPBPETokenizer()
+    ds = SyntheticTextImageDataset(dcfg, "train", tok, num_rows=2)
+    vae = AutoEncoderKL.from_config(AutoencoderConfig(
+        autoencoder_channels_list=[8, 16], groups=4))
+    params = vae.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)))
+
+    def build(proc_idx):
+        monkeypatch.setattr(jax, "process_index", lambda: proc_idx)
+        return AutoencoderTrainer(vae, params, cfg, ds, None)
+
+    main = build(0)
+    assert isinstance(main.tracker, Tracker) and main.is_main_process
+    worker = build(1)
+    assert isinstance(worker.tracker, NullTracker) and not worker.is_main_process
+    # the no-op sink accepts the full surface without touching disk
+    worker.tracker.set_persistent(synthetic_fallback=True)
+    worker.tracker.log({"train_loss": 1.0}, step=1)
+    worker.tracker.log_images({"x": np.zeros((4, 4, 3), np.uint8)}, step=1)
+    worker.tracker.finish()
