@@ -20,6 +20,7 @@ import jax
 import jax.numpy as jnp
 
 _IMPL = "auto"  # "auto" | "xla" | "pallas"
+_TP_MESH = None  # (mesh, data_axis, model_axis) when tensor parallelism is on
 
 
 def set_attention_impl(impl: str) -> None:
@@ -28,6 +29,19 @@ def set_attention_impl(impl: str) -> None:
     if impl not in ("auto", "xla", "pallas"):
         raise ValueError(f"unknown attention impl {impl!r}")
     _IMPL = impl
+
+
+def set_tp_mesh(mesh, data_axis: str = "data", model_axis: str = "model") -> None:
+    """Register the 2-D (data, model) mesh for tensor-parallel attention.
+
+    Pallas kernels are opaque to GSPMD, so under TP the flash kernel runs
+    inside shard_map: the batch splits over ``data`` and the HEADS split over
+    ``model`` (attention is embarrassingly parallel across heads — the
+    TPU-native analog of Megatron splitting attention by head). Pass ``None``
+    to clear.
+    """
+    global _TP_MESH
+    _TP_MESH = None if mesh is None else (mesh, data_axis, model_axis)
 
 
 def get_attention_impl() -> str:
@@ -89,6 +103,22 @@ def multi_head_attention(
                 flash_attention,
             )
 
+            if _TP_MESH is not None:
+                mesh, data_axis, model_axis = _TP_MESH
+                n_model = mesh.shape[model_axis]
+                n_data = mesh.shape[data_axis]
+                if q.shape[2] % n_model == 0 and q.shape[0] % n_data == 0:
+                    from jax.experimental.shard_map import shard_map
+                    from jax.sharding import PartitionSpec as P
+
+                    spec = P(data_axis, None, model_axis, None)
+                    return shard_map(
+                        lambda qq, kk, vv: flash_attention(qq, kk, vv, scale),
+                        mesh=mesh,
+                        in_specs=(spec, spec, spec),
+                        out_specs=spec,
+                        check_rep=False,
+                    )(q, k, v)
             return flash_attention(q, k, v, scale)
         except Exception:
             if _IMPL == "pallas":

@@ -189,8 +189,10 @@ def _flash_bwd(scale, interpret, res, do):
         flash_attention_bwd_fused,
     )
 
-    # fused single-pass: scores recomputed once per q-tile for dq AND dk/dv
-    block = int(os.environ.get("SD_FLASH_BWD_BLOCK_N", "96"))
+    # fused single-pass: scores recomputed once per q-tile for dq AND dk/dv.
+    # block 112 measured best on v5e (26.1 samples/s vs 25.0 at 96; 128 OOMs
+    # the 16MB VMEM on SD's 4096-token self-attention)
+    block = int(os.environ.get("SD_FLASH_BWD_BLOCK_N", "112"))
     return flash_attention_bwd_fused(q, k, v, do, scale, interpret, block_n=block)
 
 

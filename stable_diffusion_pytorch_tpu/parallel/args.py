@@ -37,6 +37,15 @@ class ParallelConfig(BaseConfig):
             "XLA inserts the all-gather/reduce-scatter pattern."
         },
     )
+    tensor_parallel: int = field(
+        default=1,
+        metadata={
+            "help": "Model-parallel group size: attention/FFN weights split "
+            "over a second mesh axis (Megatron-style column/row parallel, "
+            "heads-sharded flash attention). Beyond the reference, which is "
+            "data-parallel only."
+        },
+    )
     remat_policy: str = field(
         default="none",
         metadata={

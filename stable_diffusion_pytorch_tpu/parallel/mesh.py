@@ -2,13 +2,19 @@
 
 The reference delegates all distribution to HF Accelerate over NCCL
 (/root/reference/train_unet.py:97-110, accelerate_config YAMLs). The TPU-native
-equivalent is a 1-D ``data`` mesh over ICI with XLA collectives inserted by the
-compiler from sharding annotations:
+equivalent is a mesh over ICI with XLA collectives inserted by the compiler
+from sharding annotations:
 
 - batch arrays: sharded on axis 0 over ``data`` (DDP analog)
 - params: replicated (grad allreduce == XLA-inserted psum at the jit boundary)
 - optimizer state: optionally sharded over ``data`` (DeepSpeed ZeRO-2 analog,
   train_unet.py:101-109) via :func:`zero_shardings`
+- tensor parallelism (beyond the reference, which has none — SURVEY §2.3): a
+  2-D ``(data, model)`` mesh with attention/FFN weights sharded over ``model``
+  (:func:`tp_shardings`, Megatron-style column/row split); GSPMD propagates
+  the activation shardings and inserts the psum after each row-parallel
+  projection. The Pallas flash kernel runs heads-sharded under shard_map
+  (ops/attention.py).
 """
 
 from __future__ import annotations
@@ -20,15 +26,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
-def get_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
-    """1-D data-parallel mesh over local devices (or an explicit device list)."""
+def get_mesh(
+    num_devices: Optional[int] = None, devices=None, model_parallel: int = 1
+) -> Mesh:
+    """Data-parallel mesh over local devices; with ``model_parallel`` > 1, a
+    2-D ``(data, model)`` mesh where adjacent devices (fastest ICI links) form
+    the model groups."""
     if devices is None:
         devices = jax.devices()
         if num_devices is not None:
             devices = devices[:num_devices]
-    return Mesh(np.asarray(devices), (DATA_AXIS,))
+    devices = np.asarray(devices)
+    if model_parallel > 1:
+        assert devices.size % model_parallel == 0, (
+            f"{devices.size} devices not divisible by model_parallel={model_parallel}"
+        )
+        grid = devices.reshape(devices.size // model_parallel, model_parallel)
+        return Mesh(grid, (DATA_AXIS, MODEL_AXIS))
+    return Mesh(devices, (DATA_AXIS,))
 
 
 def replicated(mesh: Mesh) -> NamedSharding:
@@ -75,6 +93,57 @@ def zero_shardings(mesh: Mesh, pytree) -> object:
         return NamedSharding(mesh, P(*spec))
 
     return jax.tree_util.tree_map(leaf_sharding, pytree)
+
+
+def tp_shardings(mesh: Mesh, params) -> object:
+    """Megatron-style tensor-parallel shardings for the UNet parameter tree.
+
+    Column-parallel (output dim over ``model``): attention to_q/to_k/to_v (the
+    head dimension splits across devices) and the GEGLU up-projection (its
+    2*4C output splits so the gate/value halves shard identically).
+    Row-parallel (input dim over ``model``): the attention output projection
+    and the FFN down-projection — XLA inserts the psum after each.
+    Everything else (convs, norms, time embeddings, biases) replicates over
+    ``model``; all params replicate over ``data`` (DP gradients psum there).
+    """
+    col_parallel = ("to_q", "to_k", "to_v", "proj")
+    row_parallel = ("out", "to_out")
+
+    def leaf_sharding(path, x):
+        names = [getattr(p, "key", getattr(p, "name", "")) for p in path]
+        if not hasattr(x, "ndim") or x.ndim != 2 or names[-1] != "kernel":
+            return NamedSharding(mesh, P())
+        owner = names[-2] if len(names) >= 2 else ""
+        n = mesh.shape[MODEL_AXIS]
+        if owner in col_parallel and x.shape[1] % n == 0:
+            return NamedSharding(mesh, P(None, MODEL_AXIS))
+        if owner in row_parallel and x.shape[0] % n == 0:
+            return NamedSharding(mesh, P(MODEL_AXIS, None))
+        return NamedSharding(mesh, P())
+
+    return jax.tree_util.tree_map_with_path(leaf_sharding, params)
+
+
+def combine_zero(mesh: Mesh, pytree, base_tree) -> object:
+    """Layer ZeRO data-axis sharding on top of existing (e.g. TP) shardings:
+    each leaf additionally shards its largest not-yet-sharded axis over
+    ``data`` when divisible. Used for optimizer state under 2-D meshes."""
+    n = mesh.shape[DATA_AXIS]
+
+    def combine(x, base):
+        if not hasattr(x, "shape") or x.ndim == 0 or n <= 1:
+            return base
+        spec = list(base.spec) + [None] * (x.ndim - len(base.spec))
+        best_axis, best_size = None, 0
+        for axis, size in enumerate(x.shape):
+            if spec[axis] is None and size > best_size and size % n == 0:
+                best_axis, best_size = axis, size
+        if best_axis is None:
+            return base
+        spec[best_axis] = DATA_AXIS
+        return NamedSharding(mesh, P(*spec))
+
+    return jax.tree_util.tree_map(combine, pytree, base_tree)
 
 
 def put_replicated(mesh: Mesh, pytree):

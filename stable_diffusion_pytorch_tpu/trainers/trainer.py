@@ -73,8 +73,16 @@ class Trainer:
         self.train_dataset = train_dataset
         self.eval_dataset = eval_dataset
 
-        self.mesh = mesh_lib.get_mesh(cfg.parallel.num_devices)
-        self.num_devices = self.mesh.devices.size
+        tp = getattr(cfg.parallel, "tensor_parallel", 1) or 1
+        self.mesh = mesh_lib.get_mesh(cfg.parallel.num_devices, model_parallel=tp)
+        self.tensor_parallel = tp
+        if tp > 1:
+            # Pallas kernels are GSPMD-opaque: route the flash kernel through
+            # shard_map with heads split over the model axis
+            from stable_diffusion_pytorch_tpu.ops.attention import set_tp_mesh
+
+            set_tp_mesh(self.mesh)
+        self.num_devices = self.mesh.shape[mesh_lib.DATA_AXIS]
         self.dtype = resolve_dtype(cfg.parallel.mixed_precision)
 
         # per-processor batch size semantics (train_unet.py:320-324); on a
@@ -156,28 +164,49 @@ class Trainer:
     # ------------------------------------------------------------------ #
 
     def _place_state(self, state: TrainState) -> TrainState:
-        """Params replicated (or FSDP-sharded); optimizer state optionally
-        ZeRO-sharded. XLA/GSPMD inserts the matching collectives."""
+        """Params replicated, FSDP-sharded, or tensor-parallel; optimizer state
+        optionally ZeRO-sharded (layered on top of TP under a 2-D mesh).
+        XLA/GSPMD inserts the matching collectives."""
+        mesh = self.mesh
         replicate = lambda tree: jax.tree_util.tree_map(  # noqa: E731
-            lambda _: mesh_lib.replicated(self.mesh), tree
+            lambda _: mesh_lib.replicated(mesh), tree
         )
-        opt_sharding = (
-            mesh_lib.zero_shardings(self.mesh, state.opt_state)
-            if self.cfg.parallel.shard_optimizer_state
+        tp = self.tensor_parallel > 1
+        fsdp = getattr(self.cfg.parallel, "shard_params", False)
+        zero = self.cfg.parallel.shard_optimizer_state
+
+        if tp:
+            param_sharding = mesh_lib.tp_shardings(mesh, state.params)
+        elif fsdp:
+            param_sharding = mesh_lib.zero_shardings(mesh, state.params)
+        else:
+            param_sharding = replicate(state.params)
+
+        base_opt = (
+            mesh_lib.tp_shardings(mesh, state.opt_state)
+            if tp
             else replicate(state.opt_state)
         )
-        fsdp = getattr(self.cfg.parallel, "shard_params", False)
-        param_sharding = (
-            mesh_lib.zero_shardings(self.mesh, state.params)
-            if fsdp
-            else replicate(state.params)
-        )
+        if zero:
+            opt_sharding = (
+                mesh_lib.combine_zero(mesh, state.opt_state, base_opt)
+                if tp
+                else mesh_lib.zero_shardings(mesh, state.opt_state)
+            )
+        else:
+            opt_sharding = base_opt
+
         ema = state.ema_params
         if ema is not None:
             # EMA shadows shard like the ZeRO state: pure per-step elementwise
-            ema = jax.device_put(ema, mesh_lib.zero_shardings(self.mesh, ema))
+            ema_sharding = (
+                mesh_lib.tp_shardings(mesh, ema)
+                if tp
+                else mesh_lib.zero_shardings(mesh, ema)
+            )
+            ema = jax.device_put(ema, ema_sharding)
         return TrainState(
-            step=jax.device_put(state.step, mesh_lib.replicated(self.mesh)),
+            step=jax.device_put(state.step, mesh_lib.replicated(mesh)),
             params=jax.device_put(state.params, param_sharding),
             opt_state=jax.device_put(state.opt_state, opt_sharding),
             ema_params=ema,
