@@ -83,6 +83,7 @@ def main(argv=None):
         seed=cfg.train.seed,
         name=cfg.sampling.output_name,
         negative_prompt=cfg.sampling.negative_prompt,
+        karras=cfg.sampling.karras,
     )
     logger.info(f"saved to {cfg.sampling.output_dir}/")
 

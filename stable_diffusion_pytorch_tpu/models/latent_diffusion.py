@@ -74,6 +74,10 @@ def make_pred_noise_fn(
     return pred_noise
 
 
+SIGMA_SPACE_SAMPLERS = ("euler", "euler_a", "heun", "dpmpp_sde")
+SAMPLERS = ("ddim", "ddpm", "dpmpp") + SIGMA_SPACE_SAMPLERS
+
+
 def make_sample_fn(
     unet_module,
     schedule: DiffusionSchedule,
@@ -88,6 +92,7 @@ def make_sample_fn(
     leading_timesteps: bool = False,
     strength: float = 1.0,
     inpaint: bool = False,
+    karras: bool = False,
 ):
     """Build the jittable reverse-diffusion loop as a single ``lax.scan``.
 
@@ -101,13 +106,33 @@ def make_sample_fn(
     steps of the subsequence — the caller must q-sample its init latents to the
     FIRST timestep of the truncated schedule (exposed as ``.start_timestep``).
 
+    Samplers: discrete-timestep ``ddim``/``ddpm``/``dpmpp`` step the trained
+    grid directly; sigma-space ``euler``/``euler_a``/``heun``/``dpmpp_sde``
+    integrate the probability-flow ODE/SDE in the k-diffusion convention (see
+    schedule.py), optionally on ``karras`` spacing, conditioning the UNet on
+    fractional timesteps via log-sigma interpolation. ``eta`` for the
+    stochastic sigma-space samplers defaults to 1 when left at 0.
+
     Timesteps: DDIM/DDPM default to the evenly-spaced descending subsequence;
     ``leading_timesteps`` reproduces the reference's few-step quirk (raw steps
     S-1..0, latent_diffusion.py:103-107) and ``ascending_loop`` its reversed
     iteration order (0..T-1 over the chosen subsequence).
     """
-    if sampler not in ("ddim", "ddpm", "dpmpp"):
+    if sampler not in SAMPLERS:
         raise ValueError(f"unknown sampler {sampler!r}")
+    if sampler in SIGMA_SPACE_SAMPLERS:
+        return _make_sigma_sample_fn(
+            unet_module,
+            schedule,
+            num_steps,
+            sampler=sampler,
+            guidance_scale=guidance_scale,
+            eta=eta,
+            reference_cfg_formula=reference_cfg_formula,
+            strength=strength,
+            inpaint=inpaint,
+            karras=karras,
+        )
 
     if leading_timesteps or num_steps == schedule.noise_steps:
         ts = sched_lib.leading_timesteps(min(num_steps, schedule.noise_steps))
@@ -172,6 +197,106 @@ def make_sample_fn(
 
         init = (x_T, jnp.zeros_like(x_T), key)
         (x_0, _, _), _ = jax.lax.scan(body, init, (ts, ts_prev, ts_last))
+        return x_0
+
+    sample.start_timestep = int(ts[0])
+    return sample
+
+
+def _make_sigma_sample_fn(
+    unet_module,
+    schedule: DiffusionSchedule,
+    num_steps: int,
+    sampler: str,
+    guidance_scale: float,
+    eta: float,
+    reference_cfg_formula: bool,
+    strength: float,
+    inpaint: bool,
+    karras: bool,
+):
+    """Sigma-space (k-diffusion convention) reverse loop as one ``lax.scan``.
+
+    The input keeps the same convention as the discrete samplers: ``x_T`` is
+    the VP-space latent at the first timestep of the (possibly truncated)
+    schedule — internally converted to sigma space via
+    ``x = x_vp * sqrt(1 + sigma_0^2)`` (exact, since 1/sqrt(abar) =
+    sqrt(1+sigma^2)), so img2img init latents q-sampled to ``start_timestep``
+    plug in unchanged.
+    """
+    ts = sched_lib.spaced_timesteps(schedule.noise_steps, num_steps)
+    if strength < 1.0:
+        keep = max(min(round(num_steps * strength), num_steps), 1)
+        ts = ts[num_steps - keep :]
+        num_steps = keep
+
+    tab = sched_lib.vp_sigmas(schedule)
+    if karras:
+        sigmas = sched_lib.karras_sigmas(tab[ts[-1]], tab[ts[0]], num_steps)
+    else:
+        sigmas = tab[ts].astype(jnp.float32)
+    sigmas_all = jnp.concatenate([sigmas, jnp.zeros((1,), jnp.float32)])
+    sig_cur, sig_next = sigmas_all[:-1], sigmas_all[1:]
+
+    # stochastic sigma-space samplers default to eta=1 when unset
+    eff_eta = eta if eta > 0.0 else 1.0
+
+    pred_noise = make_pred_noise_fn(unet_module, guidance_scale, reference_cfg_formula)
+
+    def sample(unet_params, x_T, context_emb, uncond_emb, key,
+               mask=None, init_latents=None):
+        bsz = x_T.shape[0]
+        dtype = x_T.dtype
+
+        def eval_eps(x_k, sigma):
+            """One denoiser call: sigma-space x -> eps (VP-space model)."""
+            c_in = (1.0 / jnp.sqrt(1.0 + sigma**2)).astype(dtype)
+            t = sched_lib.t_from_sigma(schedule, sigma)
+            t_batch = jnp.full((bsz,), t, jnp.float32)
+            return pred_noise(unet_params, x_k * c_in, t_batch, context_emb, uncond_emb)
+
+        def body(carry, step):
+            x, d_prev, h_last, k = carry
+            sigma, sigma_next = step
+            k, k_noise, k_blend = jax.random.split(k, 3)
+            eps = eval_eps(x, sigma)
+            denoised = x - sigma.astype(dtype) * eps
+
+            if sampler == "euler":
+                x_next = sched_lib.euler_step(x, eps, sigma, sigma_next)
+                h = h_last
+            elif sampler == "euler_a":
+                s_down, s_up = sched_lib.ancestral_sigmas(sigma, sigma_next, eff_eta)
+                x_next = sched_lib.euler_step(x, eps, sigma, s_down)
+                noise = jax.random.normal(k_noise, x.shape, dtype)
+                x_next = x_next + s_up.astype(dtype) * noise
+                h = h_last
+            elif sampler == "heun":
+                x_e = sched_lib.euler_step(x, eps, sigma, sigma_next)
+                # 2nd-order correction; skipped (first-order) on the final step
+                def second_order(xe):
+                    eps2 = eval_eps(xe, jnp.maximum(sigma_next, 1e-8))
+                    return sched_lib.euler_step(x, 0.5 * (eps + eps2), sigma, sigma_next)
+                x_next = jax.lax.cond(sigma_next > 0.0, second_order, lambda xe: xe, x_e)
+                h = h_last
+            else:  # dpmpp_sde
+                noise = jax.random.normal(k_noise, x.shape, dtype)
+                x_next, h = sched_lib.dpmpp_2m_sde_step(
+                    x, denoised, d_prev, sigma, sigma_next, h_last, noise, eff_eta
+                )
+
+            if inpaint:
+                # known region in sigma space at sigma_next: x0 + sigma_next*n
+                noise_b = jax.random.normal(k_blend, x_next.shape, dtype)
+                known = init_latents + sigma_next.astype(dtype) * noise_b
+                x_next = mask * x_next + (1.0 - mask) * known
+            return (x_next, denoised, h, k), None
+
+        sigma0 = sigmas_all[0]
+        x = x_T * jnp.sqrt(1.0 + sigma0**2).astype(dtype)
+        init = (x, jnp.zeros_like(x), jnp.asarray(0.0, jnp.float32), key)
+        (x_0, _, _, _), _ = jax.lax.scan(body, init, (sig_cur, sig_next))
+        # terminal sigma is 0, so x_0 is already in VP space (abar = 1)
         return x_0
 
     sample.start_timestep = int(ts[0])
@@ -251,11 +376,14 @@ class LatentDiffusion:
         eta: float = 0.0,
         key: Optional[jax.Array] = None,
         negative_prompt: str = "",
+        karras: bool = False,
     ) -> jnp.ndarray:
         """Reverse loop x_T -> x_0 (latent_diffusion.py:67-126), jit-compiled.
 
         The reference's default sampler is DDPM over the full schedule; pass
-        ``sampler="ddim"`` for the fast deterministic path.
+        ``sampler="ddim"`` for the fast deterministic path, or any of
+        ``SAMPLERS`` (sigma-space euler/euler_a/heun/dpmpp_sde supported,
+        optionally on ``karras`` spacing).
         """
         num_steps = time_steps or self.noise_scheduler.noise_steps
         compat = self.compat
@@ -266,6 +394,7 @@ class LatentDiffusion:
             float(eta),
             bool(repeat_noise),
             float(scale_factor),
+            bool(karras),
             noised_sample.shape,
             context_emb.shape,
         )
@@ -279,6 +408,7 @@ class LatentDiffusion:
                 eta=eta,
                 repeat_noise=repeat_noise,
                 scale_factor=scale_factor,
+                karras=karras,
                 reference_cfg_formula=bool(compat and compat.cfg_formula),
                 ascending_loop=bool(compat and compat.ascending_sample_loop),
                 # the reference's few-step quirk only applies when t_steps given

@@ -295,6 +295,112 @@ def dpmpp_2m_step(
     return x_next, x0_cur
 
 
+# --------------------------------------------------------------------------- #
+# sigma-space (k-diffusion family) samplers
+#
+# The VP schedule above maps to the EDM/k-diffusion convention via
+#   sigma(t)   = sqrt((1 - abar_t) / abar_t)        (monotone increasing in t)
+#   x_sigma    = x_vp / sqrt(abar_t) = x0 + sigma * n
+# so an eps-prediction UNet is wrapped as a denoiser
+#   D(x_sigma, sigma) = x_sigma - sigma * eps(x_sigma / sqrt(1 + sigma^2), t(sigma))
+# and the probability-flow ODE is dx/dsigma = (x - D) / sigma = eps.
+# These samplers are a capability extension over the reference (which has only
+# the stochastic DDPM posterior, scheduler.py:141-219); the math follows the
+# published EDM (Karras et al. 2022) / DPM-Solver++ (Lu et al. 2022) papers.
+# --------------------------------------------------------------------------- #
+
+
+def vp_sigmas(sched: DiffusionSchedule) -> jnp.ndarray:
+    """[T] table sigma_t = sqrt((1-abar_t)/abar_t), ascending in t."""
+    ab = sched.alphas_cumprod
+    return jnp.sqrt((1.0 - ab) / ab)
+
+
+def t_from_sigma(sched: DiffusionSchedule, sigma: jnp.ndarray) -> jnp.ndarray:
+    """Fractional timestep for a sigma, by interpolating log-sigma over the
+    discrete table (the trained model's conditioning is the timestep, so
+    off-grid sigmas map to fractional t; the sinusoidal embedding is
+    continuous in t)."""
+    log_tab = jnp.log(vp_sigmas(sched))
+    return jnp.interp(jnp.log(sigma), log_tab, jnp.arange(sched.noise_steps, dtype=jnp.float32))
+
+
+def karras_sigmas(
+    sigma_min: jnp.ndarray, sigma_max: jnp.ndarray, num_steps: int, rho: float = 7.0
+) -> jnp.ndarray:
+    """Karras et al. (2022) Eq. 5 spacing: [num_steps] descending sigmas from
+    sigma_max to sigma_min (the terminal 0 is appended by the sampler)."""
+    ramp = jnp.linspace(0.0, 1.0, num_steps, dtype=jnp.float32)
+    inv_rho = 1.0 / rho
+    return (sigma_max**inv_rho + ramp * (sigma_min**inv_rho - sigma_max**inv_rho)) ** rho
+
+
+def table_sigmas(sched: DiffusionSchedule, timesteps: jnp.ndarray) -> jnp.ndarray:
+    """Sigmas at the given (descending) discrete timesteps."""
+    return vp_sigmas(sched)[timesteps]
+
+
+def euler_step(
+    x: jnp.ndarray, eps: jnp.ndarray, sigma: jnp.ndarray, sigma_next: jnp.ndarray
+) -> jnp.ndarray:
+    """Explicit Euler step of the probability-flow ODE in sigma space."""
+    return x + (sigma_next - sigma).astype(x.dtype) * eps
+
+
+def ancestral_sigmas(
+    sigma: jnp.ndarray, sigma_next: jnp.ndarray, eta: float = 1.0
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(sigma_down, sigma_up) split for ancestral sampling: step the ODE to
+    sigma_down, then add fresh noise at sigma_up so the marginal lands on
+    sigma_next (sigma_down^2 + sigma_up^2 = sigma_next^2)."""
+    sig2, nxt2 = sigma**2, sigma_next**2
+    sigma_up = jnp.minimum(
+        sigma_next, eta * jnp.sqrt(jnp.maximum(nxt2 * (sig2 - nxt2) / jnp.maximum(sig2, 1e-20), 0.0))
+    )
+    sigma_down = jnp.sqrt(jnp.maximum(nxt2 - sigma_up**2, 0.0))
+    return sigma_down, sigma_up
+
+
+def dpmpp_2m_sde_step(
+    x: jnp.ndarray,
+    denoised: jnp.ndarray,
+    denoised_prev: jnp.ndarray,
+    sigma: jnp.ndarray,
+    sigma_next: jnp.ndarray,
+    h_last: jnp.ndarray,
+    noise: jnp.ndarray,
+    eta: float = 1.0,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """One DPM-Solver++(2M) SDE step (midpoint variant) in sigma space.
+
+    ``h_last <= 0`` marks the first step (falls back to first order).
+    ``sigma_next == 0`` returns the data prediction directly.
+    Returns (x_next, h) — carry ``h`` back as the next ``h_last``.
+    """
+    t_cur, t_next = -jnp.log(jnp.maximum(sigma, 1e-20)), -jnp.log(
+        jnp.maximum(sigma_next, 1e-20)
+    )
+    h = t_next - t_cur
+    eta_h = eta * h
+    decay = jnp.exp(-eta_h)
+    blend = -jnp.expm1(-h - eta_h)  # 1 - exp(-(1+eta) h)
+
+    xf = x.astype(jnp.float32)
+    df = denoised.astype(jnp.float32)
+    x_next = (sigma_next / jnp.maximum(sigma, 1e-20)) * decay * xf + blend * df
+
+    first = h_last <= 0.0
+    r = h_last / jnp.where(h == 0, 1.0, h)
+    mid = 0.5 * blend / jnp.maximum(r, 1e-8) * (df - denoised_prev.astype(jnp.float32))
+    x_next = jnp.where(first, x_next, x_next + mid)
+
+    noise_scale = sigma_next * jnp.sqrt(jnp.maximum(-jnp.expm1(-2.0 * eta_h), 0.0))
+    x_next = x_next + noise_scale * noise.astype(jnp.float32)
+    # terminal step: land exactly on the data prediction
+    x_next = jnp.where(sigma_next > 0.0, x_next, df)
+    return x_next.astype(x.dtype), h
+
+
 def spaced_timesteps(noise_steps: int, num_inference_steps: int) -> jnp.ndarray:
     """Evenly spaced descending timestep subsequence for few-step sampling.
 

@@ -40,11 +40,23 @@ class SamplingConfig(BaseConfig):
     sampler: str = field(
         default="ddim",
         metadata={
-            "help": "sampling algorithm (dpmpp = DPM-Solver++ 2M, ~20 steps for DDIM-50 quality).",
-            "choices": ["ddim", "ddpm", "dpmpp"],
+            "help": "sampling algorithm (dpmpp = DPM-Solver++ 2M, ~20 steps for "
+            "DDIM-50 quality; euler/euler_a/heun/dpmpp_sde are sigma-space "
+            "k-diffusion-style samplers).",
+            "choices": ["ddim", "ddpm", "dpmpp", "euler", "euler_a", "heun", "dpmpp_sde"],
         },
     )
-    eta: float = field(default=0.0, metadata={"help": "DDIM eta (0 = deterministic)."})
+    karras: bool = field(
+        default=False,
+        metadata={"help": "use Karras sigma spacing for the sigma-space samplers."},
+    )
+    eta: float = field(
+        default=0.0,
+        metadata={
+            "help": "DDIM eta (0 = deterministic); noise scale for euler_a/"
+            "dpmpp_sde (0 means their default of 1)."
+        },
+    )
     num_images: int = field(default=1, metadata={"help": "batch of images to sample."})
     scale_factor: float = field(default=1.0, metadata={"help": "noise temperature for DDPM."})
     repeat_noise: bool = field(
@@ -215,6 +227,7 @@ def sample(
     seed=42,
     name: str = "txt2img",
     negative_prompt: str = "",
+    karras: bool = False,
 ) -> List[np.ndarray]:
     """Sample image(s); returns HWC uint8 arrays and saves PNGs.
 
@@ -272,6 +285,7 @@ def sample(
         repeat_noise=repeat_noise,
         key=k_loop,
         negative_prompt=negative_prompt,
+        karras=karras,
     )
     images = model.decode_latent(x_0)
     images = np.asarray(images.astype(jnp.float32))

@@ -1,0 +1,215 @@
+"""Sigma-space (k-diffusion convention) sampler tests: euler, euler_a, heun,
+dpmpp_sde, Karras spacing, and the VP<->sigma conversion machinery.
+
+The analytic tests use a delta-distribution denoiser (the true eps model for
+data concentrated at a known mu): every correct ODE/SDE sampler must land
+EXACTLY on mu at sigma=0, and for this linear ODE the Euler trajectory is
+exact at every step — so these are equality tests, not just smoke tests.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from stable_diffusion_pytorch_tpu.models import schedule as sched_lib
+from stable_diffusion_pytorch_tpu.models.latent_diffusion import (
+    SIGMA_SPACE_SAMPLERS,
+    make_sample_fn,
+)
+from stable_diffusion_pytorch_tpu.models.schedule import DDPMConfig, make_schedule
+from stable_diffusion_pytorch_tpu.models.unet import UNetModel, UnetConfig
+
+KEY = jax.random.PRNGKey(0)
+
+
+@pytest.fixture(scope="module")
+def sched():
+    return make_schedule(DDPMConfig(noise_steps=100))
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    unet = UNetModel.from_config(
+        4, 8, UnetConfig(channels_list=[32, 64], n_heads=4, time_emb_dim=64, n_layers=1)
+    )
+    x = jax.random.normal(KEY, (2, 8, 8, 4))
+    ctx = jax.random.normal(KEY, (2, 77, 768))
+    params = unet.init(KEY, x, jnp.zeros((2,), jnp.int32), ctx)
+    sched = make_schedule(DDPMConfig(noise_steps=50))
+    return unet, params, sched, x, ctx
+
+
+# --------------------------------------------------------------------------- #
+# table / conversion machinery
+# --------------------------------------------------------------------------- #
+
+
+def test_vp_sigmas_monotone_and_consistent(sched):
+    sig = np.asarray(sched_lib.vp_sigmas(sched))
+    assert (np.diff(sig) > 0).all(), "sigma(t) must increase with t"
+    ab = np.asarray(sched.alphas_cumprod)
+    np.testing.assert_allclose(sig, np.sqrt((1 - ab) / ab), rtol=1e-6)
+
+
+def test_t_from_sigma_roundtrip(sched):
+    """t_from_sigma inverts the table at the grid points."""
+    tab = sched_lib.vp_sigmas(sched)
+    for k in [0, 7, 42, 99]:
+        t = float(sched_lib.t_from_sigma(sched, tab[k]))
+        assert abs(t - k) < 1e-3, (k, t)
+
+
+def test_karras_sigmas_endpoints_and_order(sched):
+    tab = sched_lib.vp_sigmas(sched)
+    sig = np.asarray(sched_lib.karras_sigmas(tab[0], tab[99], 20))
+    assert sig.shape == (20,)
+    np.testing.assert_allclose(sig[0], float(tab[99]), rtol=1e-5)
+    np.testing.assert_allclose(sig[-1], float(tab[0]), rtol=1e-5)
+    assert (np.diff(sig) < 0).all(), "karras sigmas must be descending"
+
+
+def test_ancestral_sigmas_preserve_marginal(sched):
+    s, s_next = jnp.asarray(2.0), jnp.asarray(1.0)
+    down, up = sched_lib.ancestral_sigmas(s, s_next, eta=1.0)
+    np.testing.assert_allclose(float(down**2 + up**2), 1.0, rtol=1e-6)
+    # eta=0 degenerates to the deterministic ODE step
+    down0, up0 = sched_lib.ancestral_sigmas(s, s_next, eta=0.0)
+    assert float(up0) == 0.0 and abs(float(down0) - 1.0) < 1e-6
+
+
+# --------------------------------------------------------------------------- #
+# analytic delta-model: data concentrated at mu -> D(x, sigma) = mu exactly,
+# i.e. eps(x_vp, t) = x_vp / sqrt(1 - abar_t) - sqrt(abar/(1-abar)) * mu
+# --------------------------------------------------------------------------- #
+
+
+class DeltaUNet:
+    """Fake eps-model whose implied denoiser is D(x) = mu for any sigma.
+
+    apply(params, x_vp, t, ctx) with fractional float t: abar is recovered by
+    interpolating the log-sigma table exactly like the sampler does, so the
+    wrapper's sigma and the model's sigma agree to float precision.
+    """
+
+    dtype = jnp.float32
+
+    def __init__(self, sched, mu):
+        self.sched = sched
+        self.mu = mu
+        self.log_tab = jnp.log(sched_lib.vp_sigmas(sched))
+
+    def apply(self, params, x, t, ctx):
+        log_sig = jnp.interp(
+            t.astype(jnp.float32),
+            jnp.arange(self.sched.noise_steps, dtype=jnp.float32),
+            self.log_tab,
+        )
+        sigma = jnp.exp(log_sig).reshape((-1,) + (1,) * (x.ndim - 1))
+        # x_vp = (x_sigma) / sqrt(1+sigma^2); x_sigma = mu + sigma * eps
+        c_in = 1.0 / jnp.sqrt(1.0 + sigma**2)
+        x_sigma = x / c_in
+        return (x_sigma - self.mu) / sigma
+
+
+@pytest.mark.parametrize("sampler", ["euler", "heun", "dpmpp_sde"])
+@pytest.mark.parametrize("karras", [False, True])
+def test_delta_model_converges_exactly(sched, sampler, karras):
+    mu = 0.7
+    model = DeltaUNet(sched, mu)
+    fn = jax.jit(
+        make_sample_fn(
+            model, sched, 8, sampler=sampler, guidance_scale=1.0, karras=karras
+        )
+    )
+    x_T = jax.random.normal(KEY, (2, 4, 4, 3))
+    ctx = jnp.zeros((2, 77, 8))
+    out = np.asarray(fn(None, x_T, ctx, None, KEY))
+    np.testing.assert_allclose(out, mu, atol=2e-3)
+
+
+def test_euler_a_converges_statistically(sched):
+    """Ancestral noise cancels at sigma=0: terminal value is exactly mu."""
+    mu = -0.3
+    model = DeltaUNet(sched, mu)
+    fn = jax.jit(
+        make_sample_fn(model, sched, 10, sampler="euler_a", guidance_scale=1.0)
+    )
+    x_T = jax.random.normal(KEY, (2, 4, 4, 3))
+    ctx = jnp.zeros((2, 77, 8))
+    out = np.asarray(fn(None, x_T, ctx, None, KEY))
+    np.testing.assert_allclose(out, mu, atol=5e-3)
+
+
+def test_euler_matches_analytic_trajectory(sched):
+    """For the delta model the ODE is linear: Euler is EXACT, so the result
+    must equal mu + (x_T*sqrt(1+s0^2) - mu) * (0/s0) = mu regardless of step
+    count — even with a single step."""
+    mu = 1.5
+    model = DeltaUNet(sched, mu)
+    fn = jax.jit(make_sample_fn(model, sched, 1, sampler="euler", guidance_scale=1.0))
+    x_T = jax.random.normal(KEY, (1, 2, 2, 1))
+    out = np.asarray(fn(None, x_T, jnp.zeros((1, 77, 8)), None, KEY))
+    np.testing.assert_allclose(out, mu, atol=1e-3)
+
+
+def test_sigma_sampler_agrees_with_ddim_on_delta_model(sched):
+    """DDIM (discrete grid) and Euler (sigma space) solve the same ODE; on the
+    delta model both are exact, so they agree to float tolerance."""
+    mu = 0.25
+    model = DeltaUNet(sched, mu)
+    x_T = jax.random.normal(KEY, (1, 4, 4, 2))
+    ctx = jnp.zeros((1, 77, 8))
+    ddim = jax.jit(make_sample_fn(model, sched, 10, sampler="ddim", guidance_scale=1.0))
+    euler = jax.jit(make_sample_fn(model, sched, 10, sampler="euler", guidance_scale=1.0))
+    a = np.asarray(ddim(None, x_T, ctx, None, KEY))
+    b = np.asarray(euler(None, x_T, ctx, None, KEY))
+    np.testing.assert_allclose(a, b, atol=5e-3)
+
+
+# --------------------------------------------------------------------------- #
+# real tiny UNet: jit + shape + determinism properties
+# --------------------------------------------------------------------------- #
+
+
+@pytest.mark.parametrize("sampler", SIGMA_SPACE_SAMPLERS)
+def test_sigma_samplers_jit_and_run(tiny, sampler):
+    unet, params, sched, x, ctx = tiny
+    fn = jax.jit(
+        make_sample_fn(unet, sched, 4, sampler=sampler, guidance_scale=7.5, karras=True)
+    )
+    out = fn(params, x, ctx, jnp.zeros_like(ctx), KEY)
+    assert out.shape == x.shape
+    assert bool(jnp.isfinite(out).all())
+
+
+def test_euler_deterministic_heun_differs(tiny):
+    unet, params, sched, x, ctx = tiny
+    euler = jax.jit(make_sample_fn(unet, sched, 4, sampler="euler", guidance_scale=1.5))
+    a = euler(params, x, ctx, jnp.zeros_like(ctx), jax.random.PRNGKey(1))
+    b = euler(params, x, ctx, jnp.zeros_like(ctx), jax.random.PRNGKey(2))
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+    heun = jax.jit(make_sample_fn(unet, sched, 4, sampler="heun", guidance_scale=1.5))
+    h = heun(params, x, ctx, jnp.zeros_like(ctx), jax.random.PRNGKey(1))
+    # 2nd-order correction must actually change the result
+    assert not np.allclose(np.asarray(a), np.asarray(h))
+
+
+def test_euler_a_stochastic_across_keys(tiny):
+    unet, params, sched, x, ctx = tiny
+    fn = jax.jit(make_sample_fn(unet, sched, 4, sampler="euler_a", guidance_scale=1.5))
+    a = fn(params, x, ctx, jnp.zeros_like(ctx), jax.random.PRNGKey(1))
+    b = fn(params, x, ctx, jnp.zeros_like(ctx), jax.random.PRNGKey(2))
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_img2img_strength_truncates_sigma_schedule(tiny):
+    unet, params, sched, x, ctx = tiny
+    fn = make_sample_fn(
+        unet, sched, 8, sampler="euler", guidance_scale=1.0, strength=0.5
+    )
+    # start timestep must come from the truncated (later) part of the schedule
+    full = make_sample_fn(unet, sched, 8, sampler="euler", guidance_scale=1.0)
+    assert fn.start_timestep < full.start_timestep
+    out = jax.jit(fn)(params, x, ctx, jnp.zeros_like(ctx), KEY)
+    assert bool(jnp.isfinite(out).all())
