@@ -214,6 +214,88 @@ def add_dataclass_args(
             pass
 
 
+def add_legacy_args(
+    parser: argparse.ArgumentParser,
+    data_class: Type[BaseConfig],
+    group_name: Optional[str] = None,
+    only: Optional[List[str]] = None,
+    overrides: Optional[Dict[str, Any]] = None,
+    extras: Optional[List[Dict[str, Any]]] = None,
+) -> Any:
+    """DEPRECATED legacy argparse surface (pre-dataclass style).
+
+    Counterpart of the reference's deprecated ``add_*_args`` staticmethods
+    (/root/reference/stable_diffusion/models/unet.py:110-162, scheduler.py:26-50,
+    clip_model.py:31-54, autoencoder.py:53-91, trainer_args.py:94-164): flags
+    keep raw underscores (``--n_heads`` not ``--n-heads``), List fields use
+    ``nargs='+'`` instead of comma-string parsing, and ``overrides`` carries
+    the legacy defaults where they differ from the live dataclass (e.g. the
+    reference's legacy ``--n_heads`` default of 1 vs the dataclass's 8).
+    Prefer ``load_config`` / ``add_dataclass_args``; kept only so code written
+    against the reference's legacy surface ports one-for-one.
+    """
+    import typing
+    import warnings
+
+    warnings.warn(
+        f"add_legacy_args({data_class.__name__}) is deprecated; use load_config",
+        DeprecationWarning,
+        stacklevel=3,
+    )
+    overrides = overrides or {}
+    group = parser.add_argument_group(
+        group_name or data_class.__name__.lower().replace("config", "")
+    )
+    instance = data_class()
+    hints = typing.get_type_hints(data_class)
+    names = only if only is not None else instance._get_all_attributes()
+    for k in names:
+        if k == "_name":
+            continue
+        inter_type = _interpret_type(hints.get(k, instance._get_type(k)))
+        default = overrides.get(k, instance._get_default(k))
+        kwargs: Dict[str, Any] = {"help": instance._get_help(k)}
+        choices = instance._get_choices(k)
+        if choices is not None:
+            kwargs["choices"] = choices
+        type_str = str(inter_type)
+        if "List" in type_str or "list" in type_str:
+            kwargs["type"] = int if "int" in type_str else (
+                float if "float" in type_str else str
+            )
+            kwargs["nargs"] = "+"
+            kwargs["default"] = list(default) if default is not None else None
+        elif inter_type is bool:
+            kwargs["action"] = "store_false" if default is True else "store_true"
+            kwargs["default"] = default
+            kwargs.pop("choices", None)
+        else:
+            kwargs["type"] = inter_type
+            kwargs["default"] = None if default is MISSING else default
+        group.add_argument(f"--{k}", **kwargs)
+    for extra in extras or []:
+        extra = dict(extra)
+        group.add_argument(extra.pop("flag"), **extra)
+    return group
+
+
+def convert_dataclass_to_argparse(
+    data_classes: List[Type[BaseConfig]], parser: argparse.ArgumentParser
+) -> None:
+    """DEPRECATED alias kept for surface parity with the reference's broken
+    helper (/root/reference/utils/parse_args.py:32-58, flagged '# TODO: fix
+    bug: type' there); delegates to the working ``add_dataclass_args``."""
+    import warnings
+
+    warnings.warn(
+        "convert_dataclass_to_argparse is deprecated; use load_config",
+        DeprecationWarning,
+        stacklevel=2,
+    )
+    for data_class in data_classes:
+        add_dataclass_args(parser, data_class)
+
+
 def dataclasses_to_confignode(
     data_classes: List[Type[BaseConfig]], args: argparse.Namespace
 ) -> ConfigNode:

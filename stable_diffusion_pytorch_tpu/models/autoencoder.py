@@ -196,6 +196,26 @@ class AutoEncoderKL(nn.Module):
     bottleneck_default_groups: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    @staticmethod
+    def add_autoencoder_args(parser):
+        """DEPRECATED legacy argparse group (autoencoder.py:53-91); legacy
+        defaults match the live ``AutoencoderConfig`` ones."""
+        from stable_diffusion_pytorch_tpu.config import add_legacy_args
+
+        return add_legacy_args(
+            parser,
+            AutoencoderConfig,
+            "autoencoder",
+            only=[
+                "in_channels",
+                "latent_channels",
+                "out_channels",
+                "autoencoder_channels_list",
+                "autoencoder_num_res_blocks",
+                "groups",
+            ],
+        )
+
     @classmethod
     def from_config(
         cls, cfg: AutoencoderConfig, compat=None, dtype: jnp.dtype = jnp.float32

@@ -27,6 +27,19 @@ _DTYPES = {
 }
 
 
+def add_model_args(parser):
+    """DEPRECATED legacy model argparse surface (model_utils.py:19-26):
+    delegates to each component's deprecated ``add_*_args``."""
+    from stable_diffusion_pytorch_tpu.models.schedule import add_ddpm_args
+
+    model_group = parser.add_argument_group("model")
+    UNetModel.add_unet_args(parser)
+    add_ddpm_args(parser)
+    CLIPModel.add_clip_args(parser)
+    AutoEncoderKL.add_autoencoder_args(parser)
+    return model_group
+
+
 def resolve_dtype(mixed_precision: str) -> jnp.dtype:
     return _DTYPES.get(mixed_precision, jnp.float32)
 

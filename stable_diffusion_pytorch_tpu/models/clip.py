@@ -306,6 +306,27 @@ class CLIPModel:
     ``encode_text`` with the reference's call surface.
     """
 
+    @staticmethod
+    def add_clip_args(model_parser):
+        """DEPRECATED legacy argparse group (clip_model.py:31-54); the legacy
+        ``--cache_dir`` maps onto the live config's ``model_dir``."""
+        from stable_diffusion_pytorch_tpu.config import add_legacy_args
+
+        return add_legacy_args(
+            model_parser,
+            ClipConfig,
+            "clip",
+            only=["tokenizer", "text_encoder", "max_seq_len"],
+            extras=[
+                {
+                    "flag": "--cache_dir",
+                    "type": str,
+                    "default": None,
+                    "help": "Path to a directory to store the pretrained clip model",
+                }
+            ],
+        )
+
     def __init__(self, cfg: ClipConfig, dtype: jnp.dtype = jnp.float32):
         self.cfg = cfg
         self.max_seq_len = cfg.max_seq_len

@@ -72,6 +72,15 @@ class DiffusionSchedule:
         return jnp.arange(self.noise_steps - 1, -1, -1)
 
 
+def add_ddpm_args(parser):
+    """DEPRECATED legacy argparse group (scheduler.py:26-50). The schedule here
+    is a pure-function module rather than a class, so the legacy surface is a
+    module function; prefer ``config.load_config``."""
+    from stable_diffusion_pytorch_tpu.config import add_legacy_args
+
+    return add_legacy_args(parser, DDPMConfig, "ddpm")
+
+
 def make_betas(
     schedule: str, noise_steps: int, beta_start: float, beta_end: float
 ) -> jnp.ndarray:

@@ -157,6 +157,26 @@ class UNetModel(nn.Module):
     remat: bool = False
     dtype: jnp.dtype = jnp.float32
 
+    @staticmethod
+    def add_unet_args(parser):
+        """DEPRECATED legacy argparse group (unet.py:110-162); the legacy
+        defaults differ from the live ``UnetConfig`` ones and are preserved."""
+        from stable_diffusion_pytorch_tpu.config import add_legacy_args
+
+        return add_legacy_args(
+            parser,
+            UnetConfig,
+            "unet",
+            overrides={
+                "n_heads": 1,
+                "attention_resolutions": [1],
+                "channels_list": [64, 128],
+                "time_emb_dim": None,
+                "dropout": 0.0,
+                "n_layers": 1,
+            },
+        )
+
     @classmethod
     def from_config(
         cls,

@@ -123,3 +123,65 @@ class CheckpointConfig(BaseConfig):
             "help": "Whether the various states should be saved at the end of every n steps, or 'epoch'",
         },
     )
+
+
+# --------------------------------------------------------------------------- #
+# DEPRECATED legacy argparse surface (pre-dataclass style), kept for one-for-one
+# parity with /root/reference/trainer_args.py:90-164 ("below are deprecated, now
+# we use dataclass"). Prefer config.load_config. The legacy defaults differ from
+# the live dataclasses in places (seed 0 vs 42, eval_batch_size 1 vs 8,
+# grad_accum 1 vs 4, lr 1e-4 vs 4e-5, warmup 0 vs 500) and are preserved here.
+# --------------------------------------------------------------------------- #
+
+
+def add_distributed_training_args(parser):
+    """DEPRECATED (trainer_args.py:94-131)."""
+    from stable_diffusion_pytorch_tpu.config import add_legacy_args
+
+    return add_legacy_args(
+        parser,
+        TrainConfig,
+        "train",
+        only=[
+            "seed",
+            "train_batch_size",
+            "max_train_steps",
+            "max_train_epochs",
+            "eval_batch_size",
+            "gradient_accumulation_steps",
+        ],
+        overrides={"seed": 0, "eval_batch_size": 1, "gradient_accumulation_steps": 1},
+        extras=[
+            {"flag": "--logging_dir", "type": str, "default": "logs",
+             "help": "log directory"},
+            {"flag": "--with_tracker", "type": str, "default": None},
+            {"flag": "--report_to", "type": int, "default": 0, "help": "seed argument"},
+        ],
+    )
+
+
+def add_optimization_args(parser):
+    """DEPRECATED (trainer_args.py:134-147)."""
+    from stable_diffusion_pytorch_tpu.config import add_legacy_args
+
+    return add_legacy_args(
+        parser,
+        OptimConfig,
+        "optim",
+        only=["learning_rate", "adam_weight_decay", "use_8bit_adam"],
+        overrides={"learning_rate": 1e-4},
+    )
+
+
+def add_lr_scheduler_args(parser):
+    """DEPRECATED (trainer_args.py:150-161)."""
+    from stable_diffusion_pytorch_tpu.config import add_legacy_args
+
+    return add_legacy_args(
+        parser,
+        OptimConfig,
+        "lr_scheduler",
+        only=["lr_warmup_steps"],
+        overrides={"lr_warmup_steps": 0},
+        extras=[{"flag": "--type", "type": str, "default": "linear"}],
+    )

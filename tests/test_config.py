@@ -102,3 +102,56 @@ def test_confignode_roundtrip():
     node = ConfigNode.from_dict({"a": 1, "b": {"c": [1, 2]}})
     assert node.a == 1 and node.b.c == [1, 2]
     assert node.to_dict() == {"a": 1, "b": {"c": [1, 2]}}
+
+
+def test_legacy_add_args_surface():
+    """The reference's deprecated add_*_args staticmethods exist and parse
+    underscore-style flags with the LEGACY defaults (unet.py:110-162,
+    scheduler.py:26-50, clip_model.py:31-54, autoencoder.py:53-91,
+    model_utils.py:19-26, trainer_args.py:94-164)."""
+    import argparse
+    import warnings
+
+    from stable_diffusion_pytorch_tpu.models.build import add_model_args
+    from stable_diffusion_pytorch_tpu.trainers.args import (
+        add_distributed_training_args,
+        add_lr_scheduler_args,
+        add_optimization_args,
+    )
+
+    parser = argparse.ArgumentParser()
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", DeprecationWarning)
+        add_model_args(parser)
+        add_distributed_training_args(parser)
+        add_optimization_args(parser)
+        add_lr_scheduler_args(parser)
+    args = parser.parse_args(
+        ["--n_heads", "2", "--channels_list", "32", "64", "--noise_steps", "10"]
+    )
+    # legacy underscore flags + nargs='+' lists parse
+    assert args.n_heads == 2 and args.channels_list == [32, 64]
+    assert args.noise_steps == 10
+    # legacy defaults preserved where they differ from the live dataclasses
+    assert args.attention_resolutions == [1]  # legacy default, not [0, 1]
+    assert args.seed == 0 and args.eval_batch_size == 1  # trainer legacy defaults
+    assert args.learning_rate == 1e-4 and args.lr_warmup_steps == 0
+    assert args.cache_dir is None and args.type == "linear"
+    # live dataclass-derived defaults for the rest
+    assert args.latent_channels == 4 and args.groups == 32
+
+
+def test_convert_dataclass_to_argparse_deprecated_alias():
+    import argparse
+    import warnings
+
+    from stable_diffusion_pytorch_tpu.config import convert_dataclass_to_argparse
+    from stable_diffusion_pytorch_tpu.trainers.args import OptimConfig
+
+    parser = argparse.ArgumentParser()
+    with warnings.catch_warnings(record=True) as caught:
+        warnings.simplefilter("always")
+        convert_dataclass_to_argparse([OptimConfig], parser)
+    assert any(issubclass(w.category, DeprecationWarning) for w in caught)
+    args = parser.parse_args(["--learning-rate", "3e-4"])
+    assert args.learning_rate == 3e-4
