@@ -31,6 +31,23 @@ class LogConfig(BaseConfig):
         default="data/test_images/test01.png",
         metadata={"help": "test image path for log_image"},
     )
+    log_grad_noise_scale: bool = field(
+        default=False,
+        metadata={
+            "help": "estimate the gradient noise scale (McCandlish et al. 2018) "
+            "from half-batch gradients each step (same FLOPs) and log the "
+            "EMA-smoothed B_noise — the batch size beyond which scaling stops "
+            "paying off. Observability extension beyond the reference."
+        },
+    )
+    spike_threshold: float = field(
+        default=0.0,
+        metadata={
+            "help": "flag a train-loss spike when loss exceeds the running mean "
+            "by this many running std-devs (0 disables); spikes emit a WARNING "
+            "and a loss_spike field in the metrics stream."
+        },
+    )
 
 
 @dataclass

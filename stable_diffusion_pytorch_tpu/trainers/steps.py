@@ -75,6 +75,39 @@ def _ema_decay_at(step, ema_decay: float, accum: int):
     return jnp.where(sync, jnp.float32(ema_decay), jnp.float32(1.0))
 
 
+def _gns_grads(grad_fn, batch, key):
+    """Half-batch gradient split for the gradient-noise-scale estimator
+    (McCandlish et al. 2018, "An Empirical Model of Large-Batch Training").
+
+    ``grad_fn(sub_batch, sub_key) -> (loss, grads)``. Computes grads over the
+    two batch halves (same total FLOPs as one full-batch backward), averages
+    them into the usual full-batch gradient, and returns the two unbiased
+    estimator ingredients:
+      S   = (|g_small|^2 - |g_big|^2) / (1/B_small - 1/B_big)   (noise scale)
+      G^2 = (B_big |g_big|^2 - B_small |g_small|^2) / (B_big - B_small)
+    The trainer EMA-smooths S and G^2 across steps and reports B_noise = S/G^2.
+    Returns (loss, grads, {"gns_s", "gns_g2"}).
+    """
+    bsz = next(iter(batch.values())).shape[0]
+    half = bsz // 2
+    k1, k2 = jax.random.split(key)
+    b1 = jax.tree_util.tree_map(lambda x: x[:half], batch)
+    b2 = jax.tree_util.tree_map(lambda x: x[half:], batch)
+    l1, g1 = grad_fn(b1, k1)
+    l2, g2 = grad_fn(b2, k2)
+    grads = jax.tree_util.tree_map(lambda a, b: (a + b) * 0.5, g1, g2)
+    loss = (l1 + l2) * 0.5
+    g_big2 = optax.global_norm(grads) ** 2
+    g_small2 = (optax.global_norm(g1) ** 2 + optax.global_norm(g2) ** 2) * 0.5
+    # B_small = half, B_big = 2*half: the denominators simplify to
+    #   S = 2*half*(g_small2 - g_big2),  G2 = 2*g_big2 - g_small2
+    extras = {
+        "gns_s": 2.0 * half * (g_small2 - g_big2),
+        "gns_g2": 2.0 * g_big2 - g_small2,
+    }
+    return loss, grads, extras
+
+
 def make_unet_train_step(
     unet_module,
     clip_module,
@@ -90,6 +123,7 @@ def make_unet_train_step(
     ema_decay: float = 0.0,
     random_flip: bool = False,
     gradient_accumulation_steps: int = 1,
+    grad_noise_scale: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for latent-diffusion fine-tuning.
 
@@ -210,12 +244,22 @@ def make_unet_train_step(
         )
 
     def train_step(state: TrainState, clip_params, vae_params, batch, uncond_ids, key):
-        loss, grads = jax.value_and_grad(loss_fn)(
-            state.params, clip_params, vae_params, batch, uncond_ids, key
-        )
+        if grad_noise_scale:
+            loss, grads, extras = _gns_grads(
+                lambda b, k: jax.value_and_grad(loss_fn)(
+                    state.params, clip_params, vae_params, b, uncond_ids, k
+                ),
+                batch,
+                key,
+            )
+        else:
+            loss, grads = jax.value_and_grad(loss_fn)(
+                state.params, clip_params, vae_params, batch, uncond_ids, key
+            )
+            extras = {}
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **extras}
         return (
             TrainState(
                 step=state.step + 1,
@@ -244,6 +288,7 @@ def make_vae_train_step(
     ema_decay: float = 0.0,
     random_flip: bool = False,
     gradient_accumulation_steps: int = 1,
+    grad_noise_scale: bool = False,
 ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for KL-VAE training.
 
@@ -279,12 +324,24 @@ def make_vae_train_step(
         return loss, {"recon_loss": recon_loss, "kl_loss": kl_loss}
 
     def train_step(state: TrainState, batch, key):
-        (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
-            state.params, batch, key
-        )
+        if grad_noise_scale:
+            def vg(b, k):
+                (l, _parts), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                    state.params, b, k
+                )
+                return l, g
+
+            loss, grads, extras = _gns_grads(vg, batch, key)
+            # recon/kl parts are not re-derived on the GNS path (loss only)
+            parts = {}
+        else:
+            (loss, parts), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+                state.params, batch, key
+            )
+            extras = {}
         updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
         new_params = optax.apply_updates(state.params, updates)
-        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **parts}
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **parts, **extras}
         return (
             TrainState(
                 step=state.step + 1,

@@ -271,6 +271,11 @@ class Trainer:
         t_last = time.time()
         step_timer = StepTimer(warmup=2)  # skip compile steps
         done = False
+        # observability extensions (beyond the reference): EMA-smoothed
+        # gradient-noise-scale and running-statistics loss-spike detection
+        gns_s_ema, gns_g2_ema, gns_count = 0.0, 0.0, 0
+        spike_thr = float(getattr(cfg.log, "spike_threshold", 0.0) or 0.0)
+        loss_mean, loss_var, spike_count = None, 0.0, 0
 
         for epoch in range(start_epoch, max_train_epochs):
             if done:
@@ -299,15 +304,50 @@ class Trainer:
                     lr = lr_at_step(cfg.optim, max_train_steps, global_step)
                     dt = time.time() - t_last
                     t_last = time.time()
-                    self.tracker.log(
-                        {
-                            "train_loss": loss_val,
-                            "lr": lr,
-                            "samples_per_sec": total_bs / max(dt, 1e-9),
-                            **step_timer.summary_ms(),
-                        },
-                        step=global_step,
-                    )
+                    record = {
+                        "train_loss": loss_val,
+                        "lr": lr,
+                        "samples_per_sec": total_bs / max(dt, 1e-9),
+                        **step_timer.summary_ms(),
+                    }
+                    if "gns_s" in metrics:
+                        # EMA-smooth the two estimator halves separately, then
+                        # report the ratio B_noise = E[S]/E[G^2] (the bias
+                        # corrections cancel in the ratio); warm up 5 steps
+                        d = 0.95
+                        gns_count += 1
+                        gns_s_ema = d * gns_s_ema + (1 - d) * float(
+                            np.asarray(metrics["gns_s"])
+                        )
+                        gns_g2_ema = d * gns_g2_ema + (1 - d) * float(
+                            np.asarray(metrics["gns_g2"])
+                        )
+                        if gns_count >= 5 and gns_g2_ema > 0:
+                            record["grad_noise_scale"] = gns_s_ema / gns_g2_ema
+                    if spike_thr > 0:
+                        if (
+                            loss_mean is not None
+                            and global_step > 10
+                            and loss_var > 0
+                            and loss_val
+                            > loss_mean + spike_thr * (loss_var**0.5)
+                        ):
+                            spike_count += 1
+                            record["loss_spike"] = spike_count
+                            self.logger.warning(
+                                f"LOSS SPIKE at step {global_step}: "
+                                f"loss={loss_val:.5f} vs running "
+                                f"mean={loss_mean:.5f} std={loss_var**0.5:.5f} "
+                                f"(threshold {spike_thr}x)"
+                            )
+                        if loss_mean is None:
+                            loss_mean = loss_val
+                        else:
+                            dm = 0.98
+                            delta = loss_val - loss_mean
+                            loss_mean += (1 - dm) * delta
+                            loss_var = dm * (loss_var + (1 - dm) * delta * delta)
+                    self.tracker.log(record, step=global_step)
                     if global_step % 10 == 0 or global_step <= 3:
                         self.logger.info(
                             f"step {global_step}/{max_train_steps} "
@@ -403,6 +443,9 @@ class UNetTrainer(Trainer):
                 and getattr(cfg.dataset, "device_preprocess", False)
             ),
             gradient_accumulation_steps=cfg.train.gradient_accumulation_steps,
+            grad_noise_scale=bool(
+                getattr(cfg.log, "log_grad_noise_scale", False)
+            ),
         )
         self._jit_train = jax.jit(train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(eval_step)
@@ -488,6 +531,9 @@ class AutoencoderTrainer(Trainer):
                 and getattr(self.cfg.dataset, "device_preprocess", False)
             ),
             gradient_accumulation_steps=self.cfg.train.gradient_accumulation_steps,
+            grad_noise_scale=bool(
+                getattr(self.cfg.log, "log_grad_noise_scale", False)
+            ),
         )
         self._jit_train = jax.jit(train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(eval_step)

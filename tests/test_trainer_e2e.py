@@ -4,6 +4,8 @@ smoke runs; this is the reference's only 'distributed test' surface, SURVEY §4,
 done hermetically)."""
 
 import json
+
+import numpy as np
 import os
 
 import pytest
@@ -125,3 +127,26 @@ def test_train_autoencoder_runs(tmp_path, monkeypatch):
     assert any("eval_loss" in r for r in m)
     assert os.path.isdir(tmp_path / "ckpt_vae" / "checkpoint-2")
     assert os.path.exists(tmp_path / "output" / "autoencoder.png")
+
+
+def test_grad_noise_scale_and_spike_flags(tmp_path, monkeypatch):
+    """--log-grad-noise-scale logs an EMA'd B_noise after the 5-step warmup;
+    --spike-threshold arms the loss-spike detector without breaking the loop."""
+    monkeypatch.chdir(tmp_path)
+    import train_unet
+
+    args = TINY + [
+        "--ckpt-dir", str(tmp_path / "ckpt"),
+        "--checkpointing-steps", "100",
+        "--log-interval", "0",
+        "--logging-dir", str(tmp_path / "logs"),
+        "--max-train-steps", "6",
+        "--train-batch-size", "2",  # GNS splits the batch in half
+        "--log-grad-noise-scale",
+        "--spike-threshold", "3.0",
+    ]
+    train_unet.main(args)
+    m = _metrics(tmp_path / "logs" / "train_unet_metrics.jsonl")
+    gns = [r["grad_noise_scale"] for r in m if "grad_noise_scale" in r]
+    assert len(gns) >= 1, "B_noise must appear after the 5-step EMA warmup"
+    assert all(np.isfinite(v) for v in gns)
