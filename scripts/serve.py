@@ -12,9 +12,18 @@ stochastic samplers share the in-loop key across a batch).
 
 API:
     GET  /healthz                    -> {"status": "ok", "queue_depth": N, ...}
-    POST /txt2img  {"prompt": ...}   -> image/png
+    POST /txt2img  {"prompt": ...}   -> image/png (synchronous)
         optional fields: negative_prompt, steps, guidance_scale, seed,
-        sampler (ddim|ddpm|dpmpp), image_size
+        sampler (any of latent_diffusion.SAMPLERS), karras, image_size
+    POST /txt2img_async {...}        -> {"request_id": "..."} (returns at once)
+    GET  /progress/<request_id>      -> {"state": queued|running|done|error,
+                                         "pct": 0..1, "queue_position": N}
+    GET  /result/<request_id>        -> image/png when done (202 JSON before)
+
+Progress is estimated host-side from an EMA of previous runs of the same
+request signature: the sampling loop is ONE XLA program on the device, so
+per-step host callbacks would stall the TPU pipeline — an ETA-based estimate
+is free and accurate after the first batch of a signature.
 
 Example:
     python scripts/serve.py --port 8500 --max-batch 4 &
@@ -28,8 +37,11 @@ import os
 import queue
 import sys
 import threading
+import time
+import uuid
 from dataclasses import dataclass, field
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import List, Optional
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
@@ -60,16 +72,32 @@ class ServeConfig(BaseConfig):
         default=False,
         metadata={"help": "compile the default request signature at startup."},
     )
+    warmup_sizes: Optional[List[int]] = field(
+        default=None,
+        metadata={
+            "help": "extra image resolutions to compile at startup (e.g. "
+            "64,128,256) so the first request at each size pays no compile."
+        },
+    )
 
 
 class _Pending:
-    __slots__ = ("req", "event", "result", "error")
+    __slots__ = (
+        "req", "event", "result", "error",
+        "id", "state", "submit_time", "start_time", "done_time", "sig",
+    )
 
     def __init__(self, req: dict):
         self.req = req
         self.event = threading.Event()
         self.result = None
         self.error = None
+        self.id = uuid.uuid4().hex
+        self.state = "queued"
+        self.submit_time = time.time()
+        self.start_time = None
+        self.done_time = None
+        self.sig = None
 
 
 def _signature(req: dict, cfg) -> tuple:
@@ -78,6 +106,7 @@ def _signature(req: dict, cfg) -> tuple:
         int(req.get("steps", cfg.serve.default_steps)),
         str(req.get("sampler", "ddim")),
         float(req.get("guidance_scale", cfg.train.guidance_scale)),
+        bool(req.get("karras", False)),
     )
 
 
@@ -107,6 +136,10 @@ class SDService:
         self.requests_served = 0
         self.batches_run = 0
         self._shutdown = False
+        # async-API request tracking + per-signature duration EMA for progress
+        self.jobs: dict = {}
+        self._jobs_lock = threading.Lock()
+        self._sig_ema: dict = {}
         self.batcher = threading.Thread(target=self._batch_loop, daemon=True)
         self.batcher.start()
 
@@ -148,7 +181,7 @@ class SDService:
     def _run_group(self, sig: tuple, group: list) -> None:
         from stable_diffusion_pytorch_tpu.pipeline import sample
 
-        image_size, steps, sampler, guidance = sig
+        image_size, steps, sampler, guidance, karras = sig
         bucket = _bucket(len(group), self.cfg.serve.max_batch)
         prompts = [str(p.req.get("prompt", "")) for p in group]
         seeds = [int(p.req.get("seed", self.cfg.train.seed)) for p in group]
@@ -157,6 +190,11 @@ class SDService:
             prompts.append(prompts[0])
             seeds.append(seeds[0])
         negative = str(group[0].req.get("negative_prompt", ""))
+        t_start = time.time()
+        for pending in group:
+            pending.state = "running"
+            pending.start_time = t_start
+            pending.sig = sig
         try:
             outs = sample(
                 self.model,
@@ -166,12 +204,22 @@ class SDService:
                 time_steps=steps,
                 guidance_scale=guidance,
                 sampler=sampler,
+                karras=karras,
                 seed=seeds,
                 save_dir=None,
             )
+            now = time.time()
             for pending, img in zip(group, outs):
                 pending.result = img
+                pending.state = "done"
+                pending.done_time = now
                 pending.event.set()
+            # EMA of per-signature batch duration (drives /progress estimates);
+            # the first, compile-bearing run seeds the EMA and is then washed
+            # out by subsequent steady-state runs
+            dur = now - t_start
+            prev = self._sig_ema.get(sig)
+            self._sig_ema[sig] = dur if prev is None else 0.7 * prev + 0.3 * dur
             self.requests_served += len(group)
             self.batches_run += 1
             if len(group) > 1:
@@ -182,24 +230,78 @@ class SDService:
             logger.exception("batch failed")
             for pending in group:
                 pending.error = e
+                pending.state = "error"
+                pending.done_time = time.time()
                 pending.event.set()
 
     # ------------------------------------------------------------------ #
     # request surface
     # ------------------------------------------------------------------ #
 
-    def txt2img_png(self, req: dict, timeout: float = 600.0) -> bytes:
+    def _submit(self, req: dict) -> "_Pending":
+        pending = _Pending(req)
+        with self._jobs_lock:
+            # prune finished jobs older than 10 minutes so the table is bounded
+            cutoff = time.time() - 600.0
+            for jid in [
+                j
+                for j, p in self.jobs.items()
+                if p.done_time is not None and p.done_time < cutoff
+            ]:
+                del self.jobs[jid]
+            self.jobs[pending.id] = pending
+        self.queue.put(pending)
+        return pending
+
+    @staticmethod
+    def _to_png(pending: "_Pending") -> bytes:
         from PIL import Image
 
-        pending = _Pending(req)
-        self.queue.put(pending)
+        buf = io.BytesIO()
+        Image.fromarray(pending.result).save(buf, format="PNG")
+        return buf.getvalue()
+
+    def txt2img_png(self, req: dict, timeout: float = 600.0) -> bytes:
+        pending = self._submit(req)
         if not pending.event.wait(timeout):
             raise TimeoutError("sampling timed out")
         if pending.error is not None:
             raise pending.error
-        buf = io.BytesIO()
-        Image.fromarray(pending.result).save(buf, format="PNG")
-        return buf.getvalue()
+        return self._to_png(pending)
+
+    def submit_async(self, req: dict) -> str:
+        return self._submit(req).id
+
+    def progress(self, request_id: str) -> Optional[dict]:
+        with self._jobs_lock:
+            pending = self.jobs.get(request_id)
+        if pending is None:
+            return None
+        info = {"state": pending.state, "request_id": request_id}
+        if pending.state == "queued":
+            with self._jobs_lock:
+                info["queue_position"] = sum(
+                    1
+                    for p in self.jobs.values()
+                    if p.state == "queued" and p.submit_time < pending.submit_time
+                )
+            info["pct"] = 0.0
+        elif pending.state == "running":
+            ema = self._sig_ema.get(pending.sig)
+            if ema:
+                info["pct"] = min(0.95, (time.time() - pending.start_time) / ema)
+            else:  # first run of this signature: compile time dominates, unknown
+                info["pct"] = None
+        elif pending.state == "done":
+            info["pct"] = 1.0
+        else:  # error
+            info["pct"] = 1.0
+            info["error"] = f"{type(pending.error).__name__}: {pending.error}"
+        return info
+
+    def result_png(self, request_id: str) -> Optional["_Pending"]:
+        with self._jobs_lock:
+            return self.jobs.get(request_id)
 
     def stop(self) -> None:
         self._shutdown = True
@@ -219,6 +321,8 @@ def make_handler(service: SDService):
             self.wfile.write(body)
 
         def do_GET(self):
+            from stable_diffusion_pytorch_tpu.models.latent_diffusion import SAMPLERS
+
             if self.path == "/healthz":
                 payload = json.dumps(
                     {
@@ -226,25 +330,66 @@ def make_handler(service: SDService):
                         "requests_served": service.requests_served,
                         "batches_run": service.batches_run,
                         "queue_depth": service.queue.qsize(),
+                        "jobs_tracked": len(service.jobs),
                         "max_batch": service.cfg.serve.max_batch,
-                        "samplers": ["ddim", "ddpm", "dpmpp"],
+                        "samplers": list(SAMPLERS),
                     }
                 ).encode()
                 self._send(200, payload, "application/json")
+            elif self.path.startswith("/progress/"):
+                info = service.progress(self.path[len("/progress/"):])
+                if info is None:
+                    self._send(
+                        404, b'{"error": "unknown request_id"}', "application/json"
+                    )
+                else:
+                    self._send(200, json.dumps(info).encode(), "application/json")
+            elif self.path.startswith("/result/"):
+                pending = service.result_png(self.path[len("/result/"):])
+                if pending is None:
+                    self._send(
+                        404, b'{"error": "unknown request_id"}', "application/json"
+                    )
+                elif pending.state == "done":
+                    self._send(200, service._to_png(pending), "image/png")
+                elif pending.state == "error":
+                    self._send(
+                        500,
+                        json.dumps(
+                            {"error": f"{type(pending.error).__name__}: {pending.error}"}
+                        ).encode(),
+                        "application/json",
+                    )
+                else:  # still queued/running: 202 Accepted + progress body
+                    self._send(
+                        202,
+                        json.dumps(service.progress(pending.id)).encode(),
+                        "application/json",
+                    )
             else:
                 self._send(404, b'{"error": "not found"}', "application/json")
 
         def do_POST(self):
-            if self.path != "/txt2img":
+            from stable_diffusion_pytorch_tpu.models.latent_diffusion import SAMPLERS
+
+            if self.path not in ("/txt2img", "/txt2img_async"):
                 self._send(404, b'{"error": "not found"}', "application/json")
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
-                if req.get("sampler", "ddim") not in ("ddim", "ddpm", "dpmpp"):
+                if req.get("sampler", "ddim") not in SAMPLERS:
                     raise ValueError(f"unknown sampler {req.get('sampler')!r}")
-                png = service.txt2img_png(req)
-                self._send(200, png, "image/png")
+                if self.path == "/txt2img_async":
+                    rid = service.submit_async(req)
+                    self._send(
+                        202,
+                        json.dumps({"request_id": rid}).encode(),
+                        "application/json",
+                    )
+                else:
+                    png = service.txt2img_png(req)
+                    self._send(200, png, "image/png")
             except Exception as e:  # surface errors as JSON, keep serving
                 logger.exception("request failed")
                 self._send(
@@ -279,6 +424,12 @@ def main(argv=None):
     if cfg.serve.warmup:
         logger.info("warmup: compiling the default request signature...")
         service.txt2img_png({"prompt": "warmup", "steps": cfg.serve.default_steps})
+    for size in cfg.serve.warmup_sizes or []:
+        logger.info(f"warmup: compiling image_size={size}...")
+        service.txt2img_png(
+            {"prompt": "warmup", "steps": cfg.serve.default_steps,
+             "image_size": int(size)}
+        )
 
     server = ThreadingHTTPServer(
         (cfg.serve.host, cfg.serve.port), make_handler(service)

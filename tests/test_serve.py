@@ -109,3 +109,65 @@ def test_bad_sampler_is_400_json(server_url):
 def test_unknown_route_404(server_url):
     status, _, _ = _post(server_url + "/nope", {})
     assert status == 404
+
+
+def test_async_submit_progress_result(server_url):
+    """POST /txt2img_async returns a request_id immediately; /progress tracks
+    queued->running->done; /result serves the PNG (202 before completion)."""
+    import time
+
+    req = urllib.request.Request(
+        server_url + "/txt2img_async",
+        data=json.dumps({"prompt": "async cat", "seed": 3}).encode(),
+        method="POST",
+    )
+    with urllib.request.urlopen(req, timeout=30) as resp:
+        assert resp.status == 202
+        rid = json.loads(resp.read())["request_id"]
+
+    # poll progress until done
+    deadline = time.time() + 600
+    state = None
+    while time.time() < deadline:
+        with urllib.request.urlopen(
+            server_url + f"/progress/{rid}", timeout=30
+        ) as resp:
+            info = json.loads(resp.read())
+        state = info["state"]
+        assert state in ("queued", "running", "done")
+        if state == "done":
+            assert info["pct"] == 1.0
+            break
+        time.sleep(0.2)
+    assert state == "done"
+
+    status, ctype, body = _get(server_url + f"/result/{rid}")
+    assert status == 200 and ctype == "image/png"
+    assert body[:8] == b"\x89PNG\r\n\x1a\n"
+
+    # the async result matches the synchronous path for the same seed
+    _, _, sync_body = _post(
+        server_url + "/txt2img", {"prompt": "async cat", "seed": 3}
+    )
+    assert body == sync_body
+
+
+def test_progress_unknown_id_404(server_url):
+    status, _, body = _get(server_url + "/progress/nope")
+    assert status == 404 and b"unknown" in body
+
+
+def test_new_samplers_accepted(server_url):
+    status, ctype, body = _post(
+        server_url + "/txt2img",
+        {"prompt": "euler cat", "sampler": "euler", "karras": True, "seed": 1},
+    )
+    assert status == 200 and ctype == "image/png"
+
+
+def _get(url):
+    try:
+        with urllib.request.urlopen(url, timeout=600) as resp:
+            return resp.status, resp.headers.get("Content-Type"), resp.read()
+    except urllib.error.HTTPError as e:
+        return e.code, e.headers.get("Content-Type"), e.read()
