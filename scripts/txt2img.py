@@ -84,6 +84,7 @@ def main(argv=None):
         name=cfg.sampling.output_name,
         negative_prompt=cfg.sampling.negative_prompt,
         karras=cfg.sampling.karras,
+        prediction_type=cfg.sampling.prediction_type,
     )
     logger.info(f"saved to {cfg.sampling.output_dir}/")
 

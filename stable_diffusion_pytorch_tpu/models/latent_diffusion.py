@@ -93,6 +93,7 @@ def make_sample_fn(
     strength: float = 1.0,
     inpaint: bool = False,
     karras: bool = False,
+    prediction_type: str = "epsilon",
 ):
     """Build the jittable reverse-diffusion loop as a single ``lax.scan``.
 
@@ -120,6 +121,8 @@ def make_sample_fn(
     """
     if sampler not in SAMPLERS:
         raise ValueError(f"unknown sampler {sampler!r}")
+    if prediction_type not in ("epsilon", "v_prediction"):
+        raise ValueError(f"unknown prediction_type {prediction_type!r}")
     if sampler in SIGMA_SPACE_SAMPLERS:
         return _make_sigma_sample_fn(
             unet_module,
@@ -132,6 +135,7 @@ def make_sample_fn(
             strength=strength,
             inpaint=inpaint,
             karras=karras,
+            prediction_type=prediction_type,
         )
 
     if leading_timesteps or num_steps == schedule.noise_steps:
@@ -167,6 +171,9 @@ def make_sample_fn(
             k, sub, k_blend = jax.random.split(k, 3)
             t_batch = jnp.full((bsz,), t, jnp.int32)
             eps = pred_noise(unet_params, x, t_batch, context_emb, uncond_emb)
+            if prediction_type == "v_prediction":
+                alpha, sigma_vp = sched_lib.alpha_sigma_at(schedule, t)
+                eps = sched_lib.eps_from_v(x, eps, alpha, sigma_vp)
             if sampler == "ddim":
                 x_next, x0 = sched_lib.ddim_step(
                     schedule, eps, x, t, t_prev, key=sub, eta=eta
@@ -214,6 +221,7 @@ def _make_sigma_sample_fn(
     strength: float,
     inpaint: bool,
     karras: bool,
+    prediction_type: str = "epsilon",
 ):
     """Sigma-space (k-diffusion convention) reverse loop as one ``lax.scan``.
 
@@ -253,7 +261,13 @@ def _make_sigma_sample_fn(
             c_in = (1.0 / jnp.sqrt(1.0 + sigma**2)).astype(dtype)
             t = sched_lib.t_from_sigma(schedule, sigma)
             t_batch = jnp.full((bsz,), t, jnp.float32)
-            return pred_noise(unet_params, x_k * c_in, t_batch, context_emb, uncond_emb)
+            x_vp = x_k * c_in
+            out = pred_noise(unet_params, x_vp, t_batch, context_emb, uncond_emb)
+            if prediction_type == "v_prediction":
+                # at sigma: alpha = 1/sqrt(1+sigma^2), sigma_vp = sigma*alpha
+                alpha = 1.0 / jnp.sqrt(1.0 + sigma**2)
+                out = sched_lib.eps_from_v(x_vp, out, alpha, sigma * alpha)
+            return out
 
         def body(carry, step):
             x, d_prev, h_last, k = carry
@@ -377,6 +391,7 @@ class LatentDiffusion:
         key: Optional[jax.Array] = None,
         negative_prompt: str = "",
         karras: bool = False,
+        prediction_type: str = "epsilon",
     ) -> jnp.ndarray:
         """Reverse loop x_T -> x_0 (latent_diffusion.py:67-126), jit-compiled.
 
@@ -395,6 +410,7 @@ class LatentDiffusion:
             bool(repeat_noise),
             float(scale_factor),
             bool(karras),
+            prediction_type,
             noised_sample.shape,
             context_emb.shape,
         )
@@ -409,6 +425,7 @@ class LatentDiffusion:
                 repeat_noise=repeat_noise,
                 scale_factor=scale_factor,
                 karras=karras,
+                prediction_type=prediction_type,
                 reference_cfg_formula=bool(compat and compat.cfg_formula),
                 ascending_loop=bool(compat and compat.ascending_sample_loop),
                 # the reference's few-step quirk only applies when t_steps given

@@ -305,6 +305,60 @@ def dpmpp_2m_step(
 
 
 # --------------------------------------------------------------------------- #
+# v-prediction (Salimans & Ho 2022, "progressive distillation") conversions.
+# With alpha = sqrt(abar), sigma = sqrt(1-abar) and x_t = alpha*x0 + sigma*eps:
+#   v   = alpha*eps - sigma*x0
+#   eps = alpha*v + sigma*x_t          (identity: alpha^2 + sigma^2 = 1)
+#   x0  = alpha*x_t - sigma*v
+# The reference trains eps-prediction only; v-prediction is the SD-2.x-style
+# objective added as a capability extension (--prediction-type v_prediction).
+# --------------------------------------------------------------------------- #
+
+
+def alpha_sigma_at(sched: DiffusionSchedule, t: jnp.ndarray) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(alpha, sigma_vp) = (sqrt(abar_t), sqrt(1-abar_t)) at discrete t."""
+    ab = sched.alphas_cumprod[t]
+    return jnp.sqrt(ab), jnp.sqrt(1.0 - ab)
+
+
+def v_from_eps_x0(x0: jnp.ndarray, eps: jnp.ndarray, alpha, sigma_vp) -> jnp.ndarray:
+    """Training target v = alpha*eps - sigma*x0."""
+    return alpha * eps - sigma_vp * x0
+
+
+def eps_from_v(x_t: jnp.ndarray, v: jnp.ndarray, alpha, sigma_vp) -> jnp.ndarray:
+    """Recover the eps prediction from a v-prediction model output."""
+    return (alpha * v.astype(jnp.float32) + sigma_vp * x_t.astype(jnp.float32)).astype(
+        x_t.dtype
+    )
+
+
+def snr_at(sched: DiffusionSchedule, t: jnp.ndarray) -> jnp.ndarray:
+    """Signal-to-noise ratio SNR(t) = abar / (1 - abar)."""
+    ab = sched.alphas_cumprod[t]
+    return ab / jnp.maximum(1.0 - ab, 1e-12)
+
+
+def min_snr_weight(
+    sched: DiffusionSchedule,
+    t: jnp.ndarray,
+    gamma: float,
+    prediction_type: str = "epsilon",
+) -> jnp.ndarray:
+    """Min-SNR-gamma per-example loss weight (Hang et al. 2023).
+
+    eps-prediction: w = min(SNR, gamma) / SNR; v-prediction: w = min(SNR,
+    gamma) / (SNR + 1). Balances the per-timestep gradient scale so early
+    (high-SNR) steps stop dominating training.
+    """
+    snr = snr_at(sched, t)
+    clipped = jnp.minimum(snr, gamma)
+    if prediction_type == "v_prediction":
+        return clipped / (snr + 1.0)
+    return clipped / jnp.maximum(snr, 1e-12)
+
+
+# --------------------------------------------------------------------------- #
 # sigma-space (k-diffusion family) samplers
 #
 # The VP schedule above maps to the EDM/k-diffusion convention via

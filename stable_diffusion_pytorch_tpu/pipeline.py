@@ -50,6 +50,14 @@ class SamplingConfig(BaseConfig):
         default=False,
         metadata={"help": "use Karras sigma spacing for the sigma-space samplers."},
     )
+    prediction_type: str = field(
+        default="epsilon",
+        metadata={
+            "help": "what the UNet predicts: epsilon or v_prediction "
+            "(SD-2.x-style; must match how the checkpoint was trained).",
+            "choices": ["epsilon", "v_prediction"],
+        },
+    )
     eta: float = field(
         default=0.0,
         metadata={
@@ -228,6 +236,7 @@ def sample(
     name: str = "txt2img",
     negative_prompt: str = "",
     karras: bool = False,
+    prediction_type: str = "epsilon",
 ) -> List[np.ndarray]:
     """Sample image(s); returns HWC uint8 arrays and saves PNGs.
 
@@ -286,6 +295,7 @@ def sample(
         key=k_loop,
         negative_prompt=negative_prompt,
         karras=karras,
+        prediction_type=prediction_type,
     )
     images = model.decode_latent(x_0)
     images = np.asarray(images.astype(jnp.float32))

@@ -90,6 +90,22 @@ class TrainConfig(BaseConfig):
             "practice is 0.9999). EMA params are saved in checkpoints."
         },
     )
+    prediction_type: str = field(
+        default="epsilon",
+        metadata={
+            "help": "training objective: epsilon (reference behavior) or "
+            "v_prediction (SD-2.x-style, Salimans & Ho 2022). Sampling from a "
+            "v-trained checkpoint needs the matching --prediction-type.",
+            "choices": ["epsilon", "v_prediction"],
+        },
+    )
+    snr_gamma: float = field(
+        default=0.0,
+        metadata={
+            "help": "Min-SNR-gamma loss weighting (Hang et al. 2023); 0 "
+            "disables, 5.0 is the paper's recommendation."
+        },
+    )
 
 
 @dataclass

@@ -124,8 +124,15 @@ def make_unet_train_step(
     random_flip: bool = False,
     gradient_accumulation_steps: int = 1,
     grad_noise_scale: bool = False,
+    prediction_type: str = "epsilon",
+    snr_gamma: float = 0.0,
 ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for latent-diffusion fine-tuning.
+
+    Capability extensions beyond the reference's eps-MSE objective
+    (train_unet.py:529): ``prediction_type="v_prediction"`` trains the
+    SD-2.x-style v-objective (Salimans & Ho 2022), and ``snr_gamma > 0``
+    applies Min-SNR-gamma per-example loss weights (Hang et al. 2023).
 
     train_step(state, clip_params, vae_params, batch, uncond_ids, key)
         -> (new_state, metrics)
@@ -209,7 +216,7 @@ def make_unet_train_step(
                 drop = jax.random.uniform(k_drop, (bsz, 1, 1)) < cfg_dropout_prob
             context = jnp.where(drop, uncond_bcast, context)
             uncond_emb = uncond_bcast if train_with_cfg else None
-            return x_t, timesteps, context, uncond_emb, noise
+            return x_t, timesteps, context, uncond_emb, noise, latents
 
         # empty-prompt dropout on token ids (before the text encoder so the
         # encode is a single batched forward)
@@ -229,19 +236,31 @@ def make_unet_train_step(
             uncond_emb = jax.lax.stop_gradient(uncond_emb)
         else:
             uncond_emb = None
-        return x_t, timesteps, context, uncond_emb, noise
+        return x_t, timesteps, context, uncond_emb, noise, latents
 
     def loss_fn(unet_params, clip_params, vae_params, batch, uncond_ids, key):
-        x_t, t, ctx, uncond_emb, noise = prepare_inputs(
+        x_t, t, ctx, uncond_emb, noise, latents = prepare_inputs(
             clip_params, vae_params, batch, uncond_ids, key
         )
         if train_with_cfg:
-            eps = pred_noise(unet_params, x_t, t, ctx, uncond_emb)
+            pred = pred_noise(unet_params, x_t, t, ctx, uncond_emb)
         else:
-            eps = unet_apply(unet_params, x_t, t, ctx)
-        return jnp.mean(
-            (eps.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2
-        )
+            pred = unet_apply(unet_params, x_t, t, ctx)
+        if prediction_type == "v_prediction":
+            alpha, sigma_vp = sched_lib.alpha_sigma_at(schedule, t)
+            alpha = sched_lib._bcast(alpha, x_t).astype(jnp.float32)
+            sigma_vp = sched_lib._bcast(sigma_vp, x_t).astype(jnp.float32)
+            target = sched_lib.v_from_eps_x0(
+                latents.astype(jnp.float32), noise.astype(jnp.float32), alpha, sigma_vp
+            )
+        else:
+            target = noise.astype(jnp.float32)
+        sq = (pred.astype(jnp.float32) - target) ** 2
+        if snr_gamma > 0.0:
+            w = sched_lib.min_snr_weight(schedule, t, snr_gamma, prediction_type)
+            per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=1)
+            return jnp.mean(w * per_example)
+        return jnp.mean(sq)
 
     def train_step(state: TrainState, clip_params, vae_params, batch, uncond_ids, key):
         if grad_noise_scale:

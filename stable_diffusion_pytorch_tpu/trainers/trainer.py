@@ -446,6 +446,8 @@ class UNetTrainer(Trainer):
             grad_noise_scale=bool(
                 getattr(cfg.log, "log_grad_noise_scale", False)
             ),
+            prediction_type=getattr(cfg.train, "prediction_type", "epsilon"),
+            snr_gamma=float(getattr(cfg.train, "snr_gamma", 0.0) or 0.0),
         )
         self._jit_train = jax.jit(train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(eval_step)

@@ -213,3 +213,124 @@ def test_img2img_strength_truncates_sigma_schedule(tiny):
     assert fn.start_timestep < full.start_timestep
     out = jax.jit(fn)(params, x, ctx, jnp.zeros_like(ctx), KEY)
     assert bool(jnp.isfinite(out).all())
+
+
+# --------------------------------------------------------------------------- #
+# v-prediction objective (SD-2.x style) + Min-SNR weights
+# --------------------------------------------------------------------------- #
+
+
+def test_v_eps_conversion_identities(sched):
+    """eps -> v -> eps round-trips exactly (alpha^2 + sigma^2 = 1)."""
+    key1, key2 = jax.random.split(KEY)
+    x0 = jax.random.normal(key1, (3, 4, 4, 2))
+    eps = jax.random.normal(key2, (3, 4, 4, 2))
+    t = jnp.asarray([0, 42, 99])
+    alpha, sigma = sched_lib.alpha_sigma_at(sched, t)
+    alpha = alpha.reshape(-1, 1, 1, 1)
+    sigma = sigma.reshape(-1, 1, 1, 1)
+    x_t = alpha * x0 + sigma * eps
+    v = sched_lib.v_from_eps_x0(x0, eps, alpha, sigma)
+    np.testing.assert_allclose(
+        np.asarray(sched_lib.eps_from_v(x_t, v, alpha, sigma)),
+        np.asarray(eps),
+        atol=1e-5,
+    )
+    # and x0 = alpha*x_t - sigma*v
+    np.testing.assert_allclose(
+        np.asarray(alpha * x_t - sigma * v), np.asarray(x0), atol=1e-5
+    )
+
+
+def test_min_snr_weight_formulas(sched):
+    t = jnp.arange(sched.noise_steps)
+    snr = np.asarray(sched_lib.snr_at(sched, t))
+    w_eps = np.asarray(sched_lib.min_snr_weight(sched, t, 5.0, "epsilon"))
+    w_v = np.asarray(sched_lib.min_snr_weight(sched, t, 5.0, "v_prediction"))
+    np.testing.assert_allclose(w_eps, np.minimum(snr, 5.0) / snr, rtol=1e-5)
+    np.testing.assert_allclose(w_v, np.minimum(snr, 5.0) / (snr + 1.0), rtol=1e-5)
+    # eps weights: exactly 1 where snr <= gamma, < 1 above
+    assert np.all(w_eps[snr <= 5.0] == 1.0) and np.all(w_eps[snr > 5.0] < 1.0)
+
+
+class DeltaVUNet(DeltaUNet):
+    """v-prediction twin of DeltaUNet: emits the exact v for delta-at-mu data,
+    so a correct v->eps conversion makes every sampler land exactly on mu."""
+
+    def apply(self, params, x, t, ctx):
+        log_sig = jnp.interp(
+            t.astype(jnp.float32),
+            jnp.arange(self.sched.noise_steps, dtype=jnp.float32),
+            self.log_tab,
+        )
+        sigma = jnp.exp(log_sig).reshape((-1,) + (1,) * (x.ndim - 1))
+        alpha_vp = 1.0 / jnp.sqrt(1.0 + sigma**2)
+        sigma_vp = sigma * alpha_vp
+        # true eps for x0 == mu, from the VP-space input x
+        eps = (x - alpha_vp * self.mu) / sigma_vp
+        x0 = jnp.full_like(x, self.mu)
+        return sched_lib.v_from_eps_x0(x0, eps, alpha_vp, sigma_vp)
+
+
+@pytest.mark.parametrize("sampler", ["ddim", "euler", "dpmpp"])
+def test_v_prediction_sampling_converges(sched, sampler):
+    mu = 0.4
+    model = DeltaVUNet(sched, mu)
+    fn = jax.jit(
+        make_sample_fn(
+            model, sched, 8, sampler=sampler, guidance_scale=1.0,
+            prediction_type="v_prediction",
+        )
+    )
+    x_T = jax.random.normal(KEY, (2, 4, 4, 3))
+    out = np.asarray(fn(None, x_T, jnp.zeros((2, 77, 8)), None, KEY))
+    np.testing.assert_allclose(out, mu, atol=5e-3)
+
+
+def test_v_train_step_targets_v(sched):
+    """With a model that outputs the EXACT v target, the v-prediction loss is
+    ~0 while the eps loss is large (they differ unless alpha=1)."""
+    import optax
+
+    from stable_diffusion_pytorch_tpu.trainers.steps import (
+        TrainState,
+        make_unet_train_step,
+    )
+
+    class EchoVModule:
+        """Replays the true v computed from the batch's known latents+noise via
+        closure on test-provided arrays keyed by the traced timestep."""
+
+        dtype = jnp.float32
+
+        def __init__(self):
+            self.call = None
+
+        def apply(self, params, x_t, t, ctx):
+            alpha, sigma = sched_lib.alpha_sigma_at(sched, t)
+            alpha = alpha.reshape(-1, 1, 1, 1)
+            sigma = sigma.reshape(-1, 1, 1, 1)
+            # reconstruct eps from (x_t, latents): eps = (x_t - alpha x0)/sigma
+            x0 = params["x0"]
+            eps = (x_t - alpha * x0) / sigma
+            return sched_lib.v_from_eps_x0(x0, eps, alpha, sigma)
+
+    latents = jax.random.normal(KEY, (2, 4, 4, 3))
+    batch = {"latents": latents, "context_emb": jnp.zeros((2, 77, 8))}
+    tx = optax.sgd(0.0)
+    module = EchoVModule()
+
+    for ptype, expect_zero in [("v_prediction", True), ("epsilon", False)]:
+        train_step, _ = make_unet_train_step(
+            module, None, None, sched, tx,
+            train_with_cfg=False, cfg_dropout_prob=0.0, prediction_type=ptype,
+        )
+        state = TrainState.create({"x0": latents}, tx)
+        _, metrics = jax.jit(train_step)(
+            state, None, None, batch, jnp.zeros((77, 8)), KEY
+        )
+        loss = float(metrics["loss"])
+        if expect_zero:
+            assert loss < 1e-8, loss
+        else:
+            assert loss > 0.1, loss
