@@ -85,6 +85,8 @@ def main(argv=None):
         negative_prompt=cfg.sampling.negative_prompt,
         karras=cfg.sampling.karras,
         prediction_type=cfg.sampling.prediction_type,
+        timestep_spacing=cfg.sampling.timestep_spacing,
+        guidance_rescale=cfg.sampling.guidance_rescale,
     )
     logger.info(f"saved to {cfg.sampling.output_dir}/")
 

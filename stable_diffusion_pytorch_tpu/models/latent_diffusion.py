@@ -44,17 +44,34 @@ def cfg_combine(
     return eps_uncond + guidance_scale * (eps_cond - eps_uncond)
 
 
+def rescale_cfg(
+    combined: jnp.ndarray, cond: jnp.ndarray, phi: float
+) -> jnp.ndarray:
+    """Guidance rescale (Lin et al. 2023 §3.4, Eq. 15-16): shrink the CFG
+    output's per-sample std back to the conditional prediction's std, blended
+    by ``phi`` — counteracts the over-saturation/over-exposure high guidance
+    causes, which zero-terminal-SNR schedules make visible."""
+    axes = tuple(range(1, combined.ndim))
+    c32 = combined.astype(jnp.float32)
+    std_cond = jnp.std(cond.astype(jnp.float32), axis=axes, keepdims=True)
+    std_cfg = jnp.std(c32, axis=axes, keepdims=True)
+    rescaled = c32 * (std_cond / jnp.maximum(std_cfg, 1e-8))
+    return (phi * rescaled + (1.0 - phi) * c32).astype(combined.dtype)
+
+
 def make_pred_noise_fn(
     unet_module,
     guidance_scale: float = 1.0,
     reference_cfg_formula: bool = False,
+    guidance_rescale: float = 0.0,
 ):
     """Build the pure eps-prediction function used by trainers and the sampler.
 
     Returns ``f(unet_params, x_t [B,h,w,c], t [B], context [B,S,D],
     uncond [B,S,D] or None) -> eps [B,h,w,c]``. With guidance <= 1 a single
     conditional forward is used (latent_diffusion.py:49-51); otherwise the batch
-    is doubled as [uncond, cond].
+    is doubled as [uncond, cond]. ``guidance_rescale > 0`` applies the CFG
+    std-rescale in model-output space (eps, or v for v-prediction models).
     """
     do_cfg = guidance_scale > 1.0
 
@@ -67,9 +84,12 @@ def make_pred_noise_fn(
         c_in = jnp.concatenate([uncond_emb, context_emb], axis=0)
         eps = unet_module.apply(unet_params, x_in, t_in, c_in)
         eps_uncond, eps_cond = jnp.split(eps, 2, axis=0)
-        return cfg_combine(
+        out = cfg_combine(
             eps_uncond, eps_cond, guidance_scale, reference_cfg_formula
         )
+        if guidance_rescale > 0.0:
+            out = rescale_cfg(out, eps_cond, guidance_rescale)
+        return out
 
     return pred_noise
 
@@ -94,6 +114,8 @@ def make_sample_fn(
     inpaint: bool = False,
     karras: bool = False,
     prediction_type: str = "epsilon",
+    timestep_spacing: str = "even",
+    guidance_rescale: float = 0.0,
 ):
     """Build the jittable reverse-diffusion loop as a single ``lax.scan``.
 
@@ -123,6 +145,23 @@ def make_sample_fn(
         raise ValueError(f"unknown sampler {sampler!r}")
     if prediction_type not in ("epsilon", "v_prediction"):
         raise ValueError(f"unknown prediction_type {prediction_type!r}")
+    if timestep_spacing not in ("even", "trailing"):
+        raise ValueError(f"unknown timestep_spacing {timestep_spacing!r}")
+    # a zero-terminal-SNR schedule (alpha_bar[T-1] == 0) has sigma = inf at the
+    # terminal step: unusable in sigma space, and eps-prediction cannot recover
+    # x0 there (divide by sqrt(alpha_bar) = 0)
+    terminal_zero = bool(schedule.alphas_cumprod[-1] <= 0.0)
+    if terminal_zero and sampler in SIGMA_SPACE_SAMPLERS:
+        raise ValueError(
+            "zero-terminal-SNR schedules have sigma=inf at the terminal step; "
+            "use a discrete sampler (ddim/ddpm/dpmpp)"
+        )
+    if terminal_zero and timestep_spacing == "trailing" and prediction_type == "epsilon":
+        raise ValueError(
+            "trailing spacing on a zero-terminal-SNR schedule starts at "
+            "SNR 0, where eps-prediction is undefined; train and sample with "
+            "--prediction-type v_prediction"
+        )
     if sampler in SIGMA_SPACE_SAMPLERS:
         return _make_sigma_sample_fn(
             unet_module,
@@ -136,10 +175,14 @@ def make_sample_fn(
             inpaint=inpaint,
             karras=karras,
             prediction_type=prediction_type,
+            timestep_spacing=timestep_spacing,
+            guidance_rescale=guidance_rescale,
         )
 
     if leading_timesteps or num_steps == schedule.noise_steps:
         ts = sched_lib.leading_timesteps(min(num_steps, schedule.noise_steps))
+    elif timestep_spacing == "trailing":
+        ts = sched_lib.trailing_timesteps(schedule.noise_steps, num_steps)
     else:
         ts = sched_lib.spaced_timesteps(schedule.noise_steps, num_steps)
 
@@ -158,7 +201,7 @@ def make_sample_fn(
         ts, ts_prev, ts_last = ts[::-1], ts_prev[::-1], ts_last[::-1]
 
     pred_noise = make_pred_noise_fn(
-        unet_module, guidance_scale, reference_cfg_formula
+        unet_module, guidance_scale, reference_cfg_formula, guidance_rescale
     )
 
     def sample(unet_params, x_T, context_emb, uncond_emb, key,
@@ -171,16 +214,22 @@ def make_sample_fn(
             k, sub, k_blend = jax.random.split(k, 3)
             t_batch = jnp.full((bsz,), t, jnp.int32)
             eps = pred_noise(unet_params, x, t_batch, context_emb, uncond_emb)
+            x0_v = None
             if prediction_type == "v_prediction":
                 alpha, sigma_vp = sched_lib.alpha_sigma_at(schedule, t)
-                eps = sched_lib.eps_from_v(x, eps, alpha, sigma_vp)
+                v = eps
+                eps = sched_lib.eps_from_v(x, v, alpha, sigma_vp)
+                # direct data prediction: finite even at alpha_bar = 0 (the
+                # trailing step of a zero-terminal-SNR schedule), where the
+                # eps-derived x0 in the step functions would be 0 * inf
+                x0_v = sched_lib.x0_from_v(x, v, alpha, sigma_vp)
             if sampler == "ddim":
                 x_next, x0 = sched_lib.ddim_step(
-                    schedule, eps, x, t, t_prev, key=sub, eta=eta
+                    schedule, eps, x, t, t_prev, key=sub, eta=eta, x0=x0_v
                 )
             elif sampler == "dpmpp":
                 x_next, x0 = sched_lib.dpmpp_2m_step(
-                    schedule, eps, x, t, t_prev, x0_prev, t_last
+                    schedule, eps, x, t, t_prev, x0_prev, t_last, x0=x0_v
                 )
             else:
                 x_next, x0 = sched_lib.ddpm_step(
@@ -191,6 +240,7 @@ def make_sample_fn(
                     sub,
                     repeat_noise=repeat_noise,
                     scale_factor=scale_factor,
+                    x0=x0_v,
                 )
             if inpaint:
                 # re-noise the KNOWN region to the step we just landed on and
@@ -222,6 +272,8 @@ def _make_sigma_sample_fn(
     inpaint: bool,
     karras: bool,
     prediction_type: str = "epsilon",
+    timestep_spacing: str = "even",
+    guidance_rescale: float = 0.0,
 ):
     """Sigma-space (k-diffusion convention) reverse loop as one ``lax.scan``.
 
@@ -232,7 +284,10 @@ def _make_sigma_sample_fn(
     sqrt(1+sigma^2)), so img2img init latents q-sampled to ``start_timestep``
     plug in unchanged.
     """
-    ts = sched_lib.spaced_timesteps(schedule.noise_steps, num_steps)
+    if timestep_spacing == "trailing":
+        ts = sched_lib.trailing_timesteps(schedule.noise_steps, num_steps)
+    else:
+        ts = sched_lib.spaced_timesteps(schedule.noise_steps, num_steps)
     if strength < 1.0:
         keep = max(min(round(num_steps * strength), num_steps), 1)
         ts = ts[num_steps - keep :]
@@ -249,7 +304,9 @@ def _make_sigma_sample_fn(
     # stochastic sigma-space samplers default to eta=1 when unset
     eff_eta = eta if eta > 0.0 else 1.0
 
-    pred_noise = make_pred_noise_fn(unet_module, guidance_scale, reference_cfg_formula)
+    pred_noise = make_pred_noise_fn(
+        unet_module, guidance_scale, reference_cfg_formula, guidance_rescale
+    )
 
     def sample(unet_params, x_T, context_emb, uncond_emb, key,
                mask=None, init_latents=None):
@@ -392,6 +449,8 @@ class LatentDiffusion:
         negative_prompt: str = "",
         karras: bool = False,
         prediction_type: str = "epsilon",
+        timestep_spacing: str = "even",
+        guidance_rescale: float = 0.0,
     ) -> jnp.ndarray:
         """Reverse loop x_T -> x_0 (latent_diffusion.py:67-126), jit-compiled.
 
@@ -411,6 +470,8 @@ class LatentDiffusion:
             float(scale_factor),
             bool(karras),
             prediction_type,
+            timestep_spacing,
+            float(guidance_rescale),
             noised_sample.shape,
             context_emb.shape,
         )
@@ -426,6 +487,8 @@ class LatentDiffusion:
                 scale_factor=scale_factor,
                 karras=karras,
                 prediction_type=prediction_type,
+                timestep_spacing=timestep_spacing,
+                guidance_rescale=guidance_rescale,
                 reference_cfg_formula=bool(compat and compat.cfg_formula),
                 ascending_loop=bool(compat and compat.ascending_sample_loop),
                 # the reference's few-step quirk only applies when t_steps given

@@ -45,6 +45,15 @@ class DDPMConfig(BaseConfig):
     noise_steps: int = field(default=1000, metadata={"help": "Number of noise steps."})
     beta_start: float = field(default=1e-4, metadata={"help": "Starting value of beta."})
     beta_end: float = field(default=0.02, metadata={"help": "Ending value of beta."})
+    zero_terminal_snr: bool = field(
+        default=False,
+        metadata={
+            "help": "rescale betas so alpha_bar(T) = 0 (Lin et al. 2023, "
+            "'Common Diffusion Noise Schedules and Sample Steps are Flawed'). "
+            "Requires --prediction-type v_prediction (eps is undefined at "
+            "SNR 0); sample with --timestep-spacing trailing."
+        },
+    )
 
 
 @struct.dataclass
@@ -109,9 +118,30 @@ def make_betas(
     raise ValueError(f"unknown noise schedule: {schedule!r}")
 
 
+def rescale_zero_terminal_snr(betas: jnp.ndarray) -> jnp.ndarray:
+    """Rescale betas so the terminal alpha_bar is exactly 0 (Lin et al. 2023,
+    Algorithm 1): shift-and-scale sqrt(alpha_bar) linearly so the first entry
+    is preserved and the last hits 0, then recover betas.
+
+    With alpha_bar(T) = 0 the forward process actually reaches pure noise, so
+    training and sampling see the same terminal distribution (the standard
+    linear schedule leaves SNR(T) ~ 4.6e-3 — the model never learns t=T from
+    pure noise, yet sampling starts there). Only meaningful with the
+    v-prediction objective: eps-prediction is undefined at SNR 0.
+    """
+    sqrt_ab = jnp.sqrt(jnp.cumprod(1.0 - betas))
+    s0, sT = sqrt_ab[0], sqrt_ab[-1]
+    sqrt_ab = (sqrt_ab - sT) * s0 / (s0 - sT)
+    ab = sqrt_ab**2
+    alphas = jnp.concatenate([ab[:1], ab[1:] / ab[:-1]])
+    return 1.0 - alphas
+
+
 def make_schedule(cfg: DDPMConfig) -> DiffusionSchedule:
     """Precompute all alpha_bar-derived tables (scheduler.py:59-87)."""
     betas = make_betas(cfg.noise_schedule, cfg.noise_steps, cfg.beta_start, cfg.beta_end)
+    if getattr(cfg, "zero_terminal_snr", False):
+        betas = rescale_zero_terminal_snr(betas)
     alphas = 1.0 - betas
     alphas_cumprod = jnp.cumprod(alphas)
     alpha_bar_prev = jnp.concatenate([jnp.ones((1,), betas.dtype), alphas_cumprod[:-1]])
@@ -169,15 +199,19 @@ def ddpm_step(
     key: jax.Array,
     repeat_noise: bool = False,
     scale_factor: float = 1.0,
+    x0: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One stochastic ancestral step x_t -> x_{t-1} (scheduler.py:141-219).
 
     ``time_step`` is a traced int32 scalar; noise is zeroed at t==0 via ``where``
     instead of the reference's Python branch so the whole loop stays inside jit.
+    ``x0`` overrides the eps-derived data prediction (used by the v-prediction
+    path, where x0 = alpha*x_t - sigma*v stays finite even at alpha_bar = 0).
     Returns (x_prev, pred_x0).
     """
     t = time_step
-    x0 = pred_x0_from_eps(sched, x_t, pred_noise, t)
+    if x0 is None:
+        x0 = pred_x0_from_eps(sched, x_t, pred_noise, t)
     mean = (
         sched.mean_x0_coef[t].astype(x_t.dtype) * x0
         + sched.mean_xt_coef[t].astype(x_t.dtype) * x_t
@@ -202,11 +236,14 @@ def ddim_step(
     prev_time_step: jnp.ndarray,
     key: Optional[jax.Array] = None,
     eta: float = 0.0,
+    x0: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One DDIM step x_t -> x_{t_prev} (Song et al. 2021, Eq. 12).
 
     ``prev_time_step < 0`` denotes abar_prev = 1 (the final step to x_0).
     With ``eta=0`` the update is deterministic; ``eta=1`` recovers DDPM-like noise.
+    ``x0`` overrides the eps-derived data prediction (v-prediction path; finite
+    at alpha_bar = 0 where pred_x0_from_eps is not).
     Returns (x_prev, pred_x0). The reference has no DDIM sampler; this is the
     capability its metric naming promises (SURVEY.md §2.4 item 1).
     """
@@ -215,7 +252,8 @@ def ddim_step(
     abar_t = sched.alphas_cumprod[t]
     abar_prev = jnp.where(t_prev >= 0, sched.alphas_cumprod[jnp.maximum(t_prev, 0)], 1.0)
 
-    x0 = pred_x0_from_eps(sched, x_t, pred_noise, t)
+    if x0 is None:
+        x0 = pred_x0_from_eps(sched, x_t, pred_noise, t)
 
     if eta > 0.0:
         if key is None:
@@ -259,6 +297,7 @@ def dpmpp_2m_step(
     prev_time_step: jnp.ndarray,
     x0_prev: jnp.ndarray,
     last_time_step: jnp.ndarray,
+    x0: Optional[jnp.ndarray] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """One DPM-Solver++(2M) step (Lu et al. 2022, data-prediction multistep).
 
@@ -276,7 +315,7 @@ def dpmpp_2m_step(
     t_next = prev_time_step
     t_last = last_time_step
 
-    x0_cur = pred_x0_from_eps(sched, x_t, pred_noise, t)
+    x0_cur = x0 if x0 is not None else pred_x0_from_eps(sched, x_t, pred_noise, t)
 
     lam_cur = _lambda_of(sched, t)
     lam_next = _lambda_of(sched, t_next)
@@ -329,6 +368,17 @@ def v_from_eps_x0(x0: jnp.ndarray, eps: jnp.ndarray, alpha, sigma_vp) -> jnp.nda
 def eps_from_v(x_t: jnp.ndarray, v: jnp.ndarray, alpha, sigma_vp) -> jnp.ndarray:
     """Recover the eps prediction from a v-prediction model output."""
     return (alpha * v.astype(jnp.float32) + sigma_vp * x_t.astype(jnp.float32)).astype(
+        x_t.dtype
+    )
+
+
+def x0_from_v(x_t: jnp.ndarray, v: jnp.ndarray, alpha, sigma_vp) -> jnp.ndarray:
+    """Data prediction from a v-prediction output: x0 = alpha*x_t - sigma*v.
+
+    Finite for every SNR including alpha_bar = 0 (unlike pred_x0_from_eps,
+    which divides by sqrt(alpha_bar)) — the reason zero-terminal-SNR schedules
+    require the v objective."""
+    return (alpha * x_t.astype(jnp.float32) - sigma_vp * v.astype(jnp.float32)).astype(
         x_t.dtype
     )
 
@@ -479,3 +529,13 @@ def leading_timesteps(num_inference_steps: int) -> jnp.ndarray:
     """The reference's quirky few-step schedule: raw steps S-1..0 of the full
     schedule (latent_diffusion.py:103-107). Kept for numeric parity runs."""
     return jnp.arange(num_inference_steps - 1, -1, -1, dtype=jnp.int32)
+
+
+def trailing_timesteps(noise_steps: int, num_inference_steps: int) -> jnp.ndarray:
+    """Trailing-spaced descending subsequence whose FIRST step is t = T-1,
+    e.g. T=1000, S=50 -> [999, 979, ..., 19] (Lin et al. 2023 §3.2: sampling
+    must start at the terminal timestep or x_T is treated as having leftover
+    signal it does not have; required for zero-terminal-SNR schedules)."""
+    step = noise_steps / num_inference_steps
+    ts = jnp.round(jnp.arange(noise_steps, 0, -step)) - 1
+    return ts.astype(jnp.int32)

@@ -58,6 +58,23 @@ class SamplingConfig(BaseConfig):
             "choices": ["epsilon", "v_prediction"],
         },
     )
+    timestep_spacing: str = field(
+        default="even",
+        metadata={
+            "help": "few-step subsequence spacing: even (ends at t=0 side) or "
+            "trailing (starts at t=T-1; required for zero-terminal-SNR "
+            "checkpoints, Lin et al. 2023).",
+            "choices": ["even", "trailing"],
+        },
+    )
+    guidance_rescale: float = field(
+        default=0.0,
+        metadata={
+            "help": "CFG std-rescale factor phi (Lin et al. 2023 §3.4); 0 "
+            "disables, 0.7 is the paper's recommendation for zero-SNR "
+            "checkpoints at high guidance."
+        },
+    )
     eta: float = field(
         default=0.0,
         metadata={
@@ -237,6 +254,8 @@ def sample(
     negative_prompt: str = "",
     karras: bool = False,
     prediction_type: str = "epsilon",
+    timestep_spacing: str = "even",
+    guidance_rescale: float = 0.0,
 ) -> List[np.ndarray]:
     """Sample image(s); returns HWC uint8 arrays and saves PNGs.
 
@@ -296,6 +315,8 @@ def sample(
         negative_prompt=negative_prompt,
         karras=karras,
         prediction_type=prediction_type,
+        timestep_spacing=timestep_spacing,
+        guidance_rescale=guidance_rescale,
     )
     images = model.decode_latent(x_0)
     images = np.asarray(images.astype(jnp.float32))

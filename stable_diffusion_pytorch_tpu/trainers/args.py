@@ -106,6 +106,23 @@ class TrainConfig(BaseConfig):
             "disables, 5.0 is the paper's recommendation."
         },
     )
+    noise_offset: float = field(
+        default=0.0,
+        metadata={
+            "help": "offset-noise strength: add offset*N(0,1) per (example, "
+            "channel) to the training noise so the model learns to shift "
+            "global brightness (0.05-0.1 typical; 0 disables)."
+        },
+    )
+    input_perturbation: float = field(
+        default=0.0,
+        metadata={
+            "help": "input perturbation gamma (Ning et al. 2023): q-sample "
+            "with noise + gamma*N(0,1) while regressing the unperturbed "
+            "noise — a training-only regularizer against sampling drift "
+            "(0.1 typical; 0 disables)."
+        },
+    )
 
 
 @dataclass

@@ -126,6 +126,8 @@ def make_unet_train_step(
     grad_noise_scale: bool = False,
     prediction_type: str = "epsilon",
     snr_gamma: float = 0.0,
+    noise_offset: float = 0.0,
+    input_perturbation: float = 0.0,
 ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for latent-diffusion fine-tuning.
 
@@ -163,7 +165,7 @@ def make_unet_train_step(
 
     def prepare_inputs(clip_params, vae_params, batch, uncond_ids, key):
         """Frozen encoders + q-sample; shared by train and eval."""
-        k_sample, k_noise, k_t, k_drop, k_pre = jax.random.split(key, 5)
+        k_sample, k_noise, k_t, k_drop, k_pre, k_off, k_ip = jax.random.split(key, 7)
         if "moments" in batch:
             # VAE-latent cache ships posterior moments; draw the fresh latent
             # sample here from the per-step key so each epoch (and each resume
@@ -201,8 +203,24 @@ def make_unet_train_step(
         bsz = latents.shape[0]
 
         noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+        if noise_offset > 0.0:
+            # offset noise: a per-(example, channel) DC shift teaches the
+            # model to move global brightness, which pure high-frequency
+            # Gaussian noise under-trains
+            off = jax.random.normal(
+                k_off, (bsz,) + (1,) * (latents.ndim - 2) + latents.shape[-1:],
+                latents.dtype,
+            )
+            noise = noise + jnp.asarray(noise_offset, latents.dtype) * off
         timesteps = jax.random.randint(k_t, (bsz,), 0, schedule.noise_steps)
-        x_t = sched_lib.add_noise(schedule, latents, noise, timesteps)
+        if input_perturbation > 0.0:
+            # perturb only the q-sample input; the regression target stays the
+            # unperturbed noise (Ning et al. 2023)
+            ip = jax.random.normal(k_ip, latents.shape, latents.dtype)
+            noisy = noise + jnp.asarray(input_perturbation, latents.dtype) * ip
+            x_t = sched_lib.add_noise(schedule, latents, noisy, timesteps)
+        else:
+            x_t = sched_lib.add_noise(schedule, latents, noise, timesteps)
 
         if "context_emb" in batch:
             # cached text embeddings (latent-cache pipeline): no CLIP forward;

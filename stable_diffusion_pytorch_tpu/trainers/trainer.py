@@ -426,6 +426,16 @@ class UNetTrainer(Trainer):
         compat = self.compat
         model = self.model
 
+        if (
+            bool(model.noise_scheduler.alphas_cumprod[-1] <= 0.0)
+            and getattr(cfg.train, "prediction_type", "epsilon") == "epsilon"
+        ):
+            raise ValueError(
+                "--zero-terminal-snr trains a timestep with SNR 0, where the "
+                "eps objective is degenerate (the target IS the input); use "
+                "--prediction-type v_prediction (Lin et al. 2023 §3.1)"
+            )
+
         train_step, eval_step = make_unet_train_step(
             model.unet,
             model.text_encoder.module,
@@ -448,6 +458,10 @@ class UNetTrainer(Trainer):
             ),
             prediction_type=getattr(cfg.train, "prediction_type", "epsilon"),
             snr_gamma=float(getattr(cfg.train, "snr_gamma", 0.0) or 0.0),
+            noise_offset=float(getattr(cfg.train, "noise_offset", 0.0) or 0.0),
+            input_perturbation=float(
+                getattr(cfg.train, "input_perturbation", 0.0) or 0.0
+            ),
         )
         self._jit_train = jax.jit(train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(eval_step)

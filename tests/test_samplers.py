@@ -334,3 +334,103 @@ def test_v_train_step_targets_v(sched):
             assert loss < 1e-8, loss
         else:
             assert loss > 0.1, loss
+
+
+# --------------------------------------------------------------------------- #
+# zero-terminal-SNR schedule + trailing spacing + guidance rescale
+# --------------------------------------------------------------------------- #
+
+
+class DeltaVPModel:
+    """Exact v-model for delta-at-mu data, computed in VP space directly from
+    the schedule tables — valid at alpha_bar = 0 (the sigma-space twin
+    DeltaVUNet can't represent sigma = inf)."""
+
+    dtype = jnp.float32
+
+    def __init__(self, sched, mu):
+        self.sched = sched
+        self.mu = mu
+
+    def apply(self, params, x, t, ctx):
+        ab = self.sched.alphas_cumprod[t.astype(jnp.int32)]
+        ab = ab.reshape((-1,) + (1,) * (x.ndim - 1))
+        alpha = jnp.sqrt(ab)
+        sigma = jnp.sqrt(jnp.maximum(1.0 - ab, 1e-12))
+        # v = alpha*eps - sigma*x0 with eps = (x - alpha*mu)/sigma
+        # simplifies to (alpha*x - mu) / sigma  (using alpha^2 + sigma^2 = 1)
+        return (alpha * x - self.mu) / sigma
+
+
+@pytest.mark.parametrize("sampler", ["ddim", "dpmpp"])
+def test_zero_snr_trailing_vpred_converges(sampler):
+    """On a zero-terminal-SNR schedule the trailing sequence starts at
+    alpha_bar = 0; the v-prediction x0 path must stay finite and land on mu."""
+    zsched = sched_lib.make_schedule(
+        sched_lib.DDPMConfig(noise_steps=100, zero_terminal_snr=True)
+    )
+    assert float(zsched.alphas_cumprod[-1]) == 0.0
+    mu = -0.3
+    model = DeltaVPModel(zsched, mu)
+    fn = jax.jit(
+        make_sample_fn(
+            model, zsched, 10, sampler=sampler, guidance_scale=1.0,
+            prediction_type="v_prediction", timestep_spacing="trailing",
+        )
+    )
+    x_T = jax.random.normal(KEY, (2, 4, 4, 3))
+    out = np.asarray(fn(None, x_T, jnp.zeros((2, 77, 8)), None, KEY))
+    assert np.isfinite(out).all()
+    np.testing.assert_allclose(out, mu, atol=5e-3)
+
+
+def test_zero_snr_guards():
+    zsched = sched_lib.make_schedule(
+        sched_lib.DDPMConfig(noise_steps=100, zero_terminal_snr=True)
+    )
+    with pytest.raises(ValueError, match="sigma"):
+        make_sample_fn(None, zsched, 10, sampler="euler")
+    with pytest.raises(ValueError, match="v_prediction"):
+        make_sample_fn(
+            None, zsched, 10, sampler="ddim", timestep_spacing="trailing",
+            prediction_type="epsilon",
+        )
+    with pytest.raises(ValueError, match="timestep_spacing"):
+        make_sample_fn(None, zsched, 10, sampler="ddim", timestep_spacing="bogus")
+
+
+def test_trailing_spacing_regular_schedule_converges(sched):
+    """Trailing spacing is also valid on ordinary schedules (all samplers)."""
+    mu = 0.25
+    model = DeltaUNet(sched, mu)
+    for sampler in ["ddim", "euler"]:
+        fn = jax.jit(
+            make_sample_fn(
+                model, sched, 10, sampler=sampler, guidance_scale=1.0,
+                timestep_spacing="trailing",
+            )
+        )
+        x_T = jax.random.normal(KEY, (2, 4, 4, 3))
+        out = np.asarray(fn(None, x_T, jnp.zeros((2, 77, 8)), None, KEY))
+        np.testing.assert_allclose(out, mu, atol=5e-3)
+
+
+def test_guidance_rescale_matches_cond_std():
+    from stable_diffusion_pytorch_tpu.models.latent_diffusion import rescale_cfg
+
+    k1, k2 = jax.random.split(KEY)
+    cond = jax.random.normal(k1, (3, 8, 8, 4))
+    combined = 7.5 * jax.random.normal(k2, (3, 8, 8, 4)) + 0.4
+    # phi=1: per-sample std equals the conditional std exactly
+    out = rescale_cfg(combined, cond, 1.0)
+    s_out = np.asarray(jnp.std(out, axis=(1, 2, 3)))
+    s_cond = np.asarray(jnp.std(cond, axis=(1, 2, 3)))
+    np.testing.assert_allclose(s_out, s_cond, rtol=1e-4)
+    # phi=0: identity
+    np.testing.assert_allclose(
+        np.asarray(rescale_cfg(combined, cond, 0.0)), np.asarray(combined), atol=1e-6
+    )
+    # phi=0.5: std strictly between
+    mid = np.asarray(jnp.std(rescale_cfg(combined, cond, 0.5), axis=(1, 2, 3)))
+    s_comb = np.asarray(jnp.std(combined, axis=(1, 2, 3)))
+    assert ((mid > s_cond) & (mid < s_comb)).all()

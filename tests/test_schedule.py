@@ -195,3 +195,35 @@ def test_spaced_and_leading_timesteps():
     assert bool(jnp.all(ts[:-1] > ts[1:]))
     lead = S.leading_timesteps(50)
     np.testing.assert_array_equal(np.asarray(lead), np.arange(49, -1, -1))
+
+
+def test_trailing_timesteps():
+    ts = S.trailing_timesteps(1000, 50)
+    assert ts.shape == (50,)
+    assert int(ts[0]) == 999 and int(ts[-1]) == 19
+    assert bool(jnp.all(ts[:-1] > ts[1:]))
+    np.testing.assert_array_equal(
+        np.asarray(S.trailing_timesteps(100, 10)), np.arange(99, 8, -10)
+    )
+
+
+def test_zero_terminal_snr_rescale():
+    """Lin et al. 2023 Alg. 1: terminal alpha_bar hits exactly 0, the first
+    entry is preserved, and the forward process at t=T-1 is pure noise."""
+    cfg = DDPMConfig(noise_steps=100, zero_terminal_snr=True)
+    sched = make_schedule(cfg)
+    ab = np.asarray(sched.alphas_cumprod)
+    base = make_schedule(DDPMConfig(noise_steps=100))
+    assert ab[-1] <= 1e-12, ab[-1]
+    np.testing.assert_allclose(ab[0], float(base.alphas_cumprod[0]), rtol=1e-5)
+    assert (np.diff(ab) < 0).all(), "alpha_bar must stay strictly decreasing"
+    # q(x_{T-1} | x0) must be exactly N(0, I): add_noise returns the noise
+    x0 = jnp.ones((2, 4, 4, 3))
+    noise = jax.random.normal(jax.random.PRNGKey(3), x0.shape)
+    t = jnp.full((2,), 99, jnp.int32)
+    np.testing.assert_allclose(
+        np.asarray(S.add_noise(sched, x0, noise, t)), np.asarray(noise), atol=1e-6
+    )
+    # betas stay a valid probability-style schedule
+    betas = np.asarray(sched.betas)
+    assert (betas > 0).all() and (betas <= 1.0).all()

@@ -324,3 +324,64 @@ def test_gns_grads_detects_noise():
     full_g = jax.grad(loss)(w, batch, None)
     np.testing.assert_allclose(np.asarray(grads), np.asarray(full_g), rtol=1e-6)
     assert float(extras["gns_s"]) > 0.0
+
+
+def test_noise_offset_and_input_perturbation_reach_the_loss():
+    """The offset-noise and input-perturbation knobs must change the computed
+    loss for the SAME PRNG key (i.e. they are actually wired into q-sampling),
+    and 0.0 must reproduce the baseline exactly."""
+    import optax
+
+    from stable_diffusion_pytorch_tpu.models.schedule import DDPMConfig, make_schedule
+    from stable_diffusion_pytorch_tpu.trainers.steps import make_unet_train_step
+
+    class ZeroModel:
+        dtype = jnp.float32
+
+        def apply(self, params, x, t, ctx):
+            return jnp.zeros_like(x)
+
+    key = jax.random.PRNGKey(7)
+    sched = make_schedule(DDPMConfig(noise_steps=20))
+    latents = jax.random.normal(key, (4, 8, 8, 4))
+    batch = {"latents": latents, "context_emb": jnp.zeros((4, 77, 8))}
+    uncond = jnp.zeros((77, 8))
+    tx = optax.sgd(0.0)
+
+    def loss_with(**kw):
+        train_step, _ = make_unet_train_step(
+            ZeroModel(), None, None, sched, tx,
+            train_with_cfg=False, cfg_dropout_prob=0.0, **kw,
+        )
+        state = TrainState.create({"w": jnp.zeros(())}, tx)
+        _, m = jax.jit(train_step)(state, None, None, batch, uncond, key)
+        return float(m["loss"])
+
+    base = loss_with()
+    assert loss_with(noise_offset=0.0, input_perturbation=0.0) == base
+    # with a zero model the loss IS E[target^2]; offset noise inflates the
+    # target's variance, so the loss must rise
+    off = loss_with(noise_offset=0.5)
+    assert off > base * 1.05, (off, base)
+    # input perturbation changes only the model INPUT x_t, and the model
+    # ignores its input -> loss must be IDENTICAL to baseline
+    ip = loss_with(input_perturbation=0.5)
+    assert ip == base, (ip, base)
+
+    class EchoXModel:
+        dtype = jnp.float32
+
+        def apply(self, params, x, t, ctx):
+            return x
+
+    def loss_echo(**kw):
+        train_step, _ = make_unet_train_step(
+            EchoXModel(), None, None, sched, tx,
+            train_with_cfg=False, cfg_dropout_prob=0.0, **kw,
+        )
+        state = TrainState.create({"w": jnp.zeros(())}, tx)
+        _, m = jax.jit(train_step)(state, None, None, batch, uncond, key)
+        return float(m["loss"])
+
+    # ...but through an input-sensitive model it must change the loss
+    assert loss_echo(input_perturbation=0.5) != loss_echo()
