@@ -63,6 +63,28 @@ def main(argv=None):
         logger.info(f"loading trained UNet weights from {path}")
         model.unet_params = load_params_for_inference(path)
 
+    if cfg.sampling.lora_checkpoint:
+        import os as _os
+
+        from stable_diffusion_pytorch_tpu.models.lora import merge_lora
+        from stable_diffusion_pytorch_tpu.utils.checkpoint import (
+            find_latest_checkpoint,
+            load_params_for_inference,
+        )
+
+        path = cfg.sampling.lora_checkpoint
+        if _os.path.isdir(path) and not _os.path.basename(path).startswith(
+            ("checkpoint", "epoch")
+        ):
+            path = find_latest_checkpoint(path) or path
+        logger.info(
+            f"merging LoRA weights from {path} (scale {cfg.sampling.lora_scale:g})"
+        )
+        model.unet_params = merge_lora(
+            model.unet_params, load_params_for_inference(path),
+            cfg.sampling.lora_scale,
+        )
+
     logger.info(
         f"sampling {cfg.sampling.num_images} image(s) for prompt={cfg.sampling.prompt!r} "
         f"({cfg.sampling.sampler}, {cfg.sampling.sampling_steps} steps, "

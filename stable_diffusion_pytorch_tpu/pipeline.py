@@ -96,6 +96,20 @@ class SamplingConfig(BaseConfig):
             "'latest' resolution) to load UNet weights from; EMA preferred."
         },
     )
+    lora_checkpoint: Optional[str] = field(
+        default=None,
+        metadata={
+            "help": "LoRA trainer checkpoint (from --lora-rank training) to "
+            "merge into the UNet weights before sampling."
+        },
+    )
+    lora_scale: float = field(
+        default=1.0,
+        metadata={
+            "help": "merge scale for --lora-checkpoint; equals alpha/rank "
+            "used in training (training default alpha=rank -> 1.0)."
+        },
+    )
 
 
 def _load_image(image, resolution: int) -> np.ndarray:

@@ -123,6 +123,28 @@ class TrainConfig(BaseConfig):
             "(0.1 typical; 0 disables)."
         },
     )
+    lora_rank: int = field(
+        default=0,
+        metadata={
+            "help": "LoRA rank r: freeze the UNet and train only rank-r "
+            "factors on the attention projections (0 disables; 4-64 typical). "
+            "Checkpoints then contain ONLY the LoRA tree."
+        },
+    )
+    lora_alpha: float = field(
+        default=0.0,
+        metadata={
+            "help": "LoRA alpha; the merged update is (alpha/rank)*A@B. "
+            "0 means alpha=rank (scale 1.0)."
+        },
+    )
+    lora_targets: str = field(
+        default="attn",
+        metadata={
+            "help": "which kernels take LoRA factors.",
+            "choices": ["attn", "attn_mlp"],
+        },
+    )
 
 
 @dataclass

@@ -15,7 +15,7 @@ train_unet.py:505-518).
 
 from __future__ import annotations
 
-from typing import Any, Callable, Tuple
+from typing import Any, Callable, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -128,6 +128,7 @@ def make_unet_train_step(
     snr_gamma: float = 0.0,
     noise_offset: float = 0.0,
     input_perturbation: float = 0.0,
+    param_transform: Optional[Callable] = None,
 ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for latent-diffusion fine-tuning.
 
@@ -257,6 +258,11 @@ def make_unet_train_step(
         return x_t, timesteps, context, uncond_emb, noise, latents
 
     def loss_fn(unet_params, clip_params, vae_params, batch, uncond_ids, key):
+        if param_transform is not None:
+            # e.g. LoRA: ``unet_params`` is the small trainable tree; the
+            # transform merges it into the frozen base weights (differentiable,
+            # so the gradient lands on the small tree)
+            unet_params = param_transform(unet_params)
         x_t, t, ctx, uncond_emb, noise, latents = prepare_inputs(
             clip_params, vae_params, batch, uncond_ids, key
         )

@@ -436,6 +436,32 @@ class UNetTrainer(Trainer):
                 "--prediction-type v_prediction (Lin et al. 2023 §3.1)"
             )
 
+        lora_rank = int(getattr(cfg.train, "lora_rank", 0) or 0)
+        self._lora_transform = None
+        trainable_params = model.unet_params
+        if lora_rank > 0:
+            from stable_diffusion_pytorch_tpu.models import lora as lora_lib
+
+            alpha = float(getattr(cfg.train, "lora_alpha", 0.0) or 0.0) or lora_rank
+            self._lora_scale = alpha / lora_rank
+            self._lora_base = mesh_lib.put_replicated(self.mesh, model.unet_params)
+            trainable_params = lora_lib.init_lora(
+                jax.random.PRNGKey(cfg.train.seed),
+                model.unet_params,
+                lora_rank,
+                getattr(cfg.train, "lora_targets", "attn"),
+            )
+            base = self._lora_base
+            scale = self._lora_scale
+            self._lora_transform = lambda lp: lora_lib.merge_lora(base, lp, scale)
+            if self.logger:
+                self.logger.info(
+                    f"LoRA rank {lora_rank} (alpha {alpha:g}, "
+                    f"targets {getattr(cfg.train, 'lora_targets', 'attn')}): "
+                    f"{lora_lib.lora_param_count(trainable_params):,} trainable "
+                    "params; base UNet frozen"
+                )
+
         train_step, eval_step = make_unet_train_step(
             model.unet,
             model.text_encoder.module,
@@ -462,13 +488,14 @@ class UNetTrainer(Trainer):
             input_perturbation=float(
                 getattr(cfg.train, "input_perturbation", 0.0) or 0.0
             ),
+            param_transform=self._lora_transform,
         )
         self._jit_train = jax.jit(train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(eval_step)
 
         self.state = self._place_state(
             TrainState.create(
-                model.unet_params, self.tx, with_ema=cfg.train.ema_decay > 0
+                trainable_params, self.tx, with_ema=cfg.train.ema_decay > 0
             )
         )
         self.clip_params = mesh_lib.put_replicated(self.mesh, model.text_encoder.params)
@@ -502,7 +529,12 @@ class UNetTrainer(Trainer):
         with 50-step DDIM instead of the reference's full 1000-step loop."""
         from stable_diffusion_pytorch_tpu.pipeline import sample as sample_pipeline
 
-        self.model.unet_params = jax.device_get(self.state.params)
+        if self._lora_transform is not None:
+            self.model.unet_params = jax.device_get(
+                self._lora_transform(self.state.params)
+            )
+        else:
+            self.model.unet_params = jax.device_get(self.state.params)
         prompt = "a white cat wearing a hat"
         outs = sample_pipeline(
             self.model,
