@@ -88,7 +88,7 @@ def test_sinusoid_matches_reference_flipped_variant():
     torch = pytest.importorskip("torch")
     import sys
 
-    sys.path.insert(0, "/root/reference")
+    sys.path.append("/root/reference")  # APPEND: must not shadow repo-root modules (train_unet, scripts)
     try:
         # enter via models.utils to dodge the reference's circular import
         import stable_diffusion.models.utils  # noqa: F401

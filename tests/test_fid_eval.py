@@ -11,7 +11,7 @@ import sys
 
 import pytest
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")  # APPEND: must not shadow repo-root modules (train_unet, scripts)
 
 try:
     import stable_diffusion.models.utils  # noqa: F401

@@ -20,7 +20,7 @@ REFERENCE_PATH = "/root/reference"
 
 def _reference_scheduler():
     if REFERENCE_PATH not in sys.path:
-        sys.path.insert(0, REFERENCE_PATH)
+        sys.path.append(REFERENCE_PATH)  # append: never shadow repo-root modules
     try:
         from stable_diffusion.models.scheduler import DDPMScheduler
 

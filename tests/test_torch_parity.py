@@ -12,7 +12,7 @@ import pytest
 
 torch = pytest.importorskip("torch")
 
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")  # APPEND: must not shadow repo-root modules (train_unet, scripts)
 
 try:
     import stable_diffusion.models.utils  # noqa: F401  (breaks the circular import)

@@ -27,7 +27,7 @@ import sys
 from types import SimpleNamespace
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))
-sys.path.insert(0, "/root/reference")
+sys.path.append("/root/reference")  # append: never shadow repo-root modules
 
 
 def main() -> dict:
