@@ -158,8 +158,18 @@ class OptimConfig(BaseConfig):
     use_8bit_adam: bool = field(
         default=False,
         metadata={
-            "help": "accepted for CLI parity; on TPU this has no effect "
-            "(optax AdamW in fp32 master precision is used)"
+            "help": "CLI parity with the reference's bitsandbytes flag "
+            "(CUDA-only); on TPU it maps to the closest analog, "
+            "--adam-mu-dtype bf16 (half-precision first moment)."
+        },
+    )
+    adam_mu_dtype: str = field(
+        default="f32",
+        metadata={
+            "help": "storage dtype of AdamW's first moment: f32, or bf16 to "
+            "halve its HBM footprint/traffic (~1.7GB on the SD-1.5 UNet; the "
+            "update math still runs in f32, and the variance stays f32).",
+            "choices": ["f32", "bf16"],
         },
     )
     max_grad_norm: float = field(

@@ -10,9 +10,9 @@ Semantics notes:
   ``optax.MultiSteps`` advances the inner optimizer once per *optimizer* step,
   so warmup/total are used directly — the LR trajectory per optimizer step is
   identical.
-- ``use_8bit_adam`` is accepted for CLI parity but maps to standard fp32-state
-  AdamW (bitsandbytes is CUDA-only; quantized optimizer state on TPU is a
-  possible later optimization).
+- ``use_8bit_adam`` (bitsandbytes, CUDA-only in the reference) maps to the
+  closest TPU analog: a bf16-stored first moment (``--adam-mu-dtype bf16``),
+  which halves that state's HBM footprint while keeping update math in f32.
 """
 
 from __future__ import annotations
@@ -57,6 +57,10 @@ def build_optimizer(
         optim_cfg.lr_warmup_steps,
         max_train_steps,
     )
+    use_bf16_mu = (
+        getattr(optim_cfg, "adam_mu_dtype", "f32") == "bf16"
+        or getattr(optim_cfg, "use_8bit_adam", False)
+    )
     tx = optax.chain(
         optax.clip_by_global_norm(optim_cfg.max_grad_norm),
         optax.adamw(
@@ -65,6 +69,9 @@ def build_optimizer(
             b2=0.999,
             eps=1e-8,
             weight_decay=optim_cfg.adam_weight_decay,
+            # bf16 first moment: the TPU analog of the reference's 8-bit Adam
+            # intent (memory-lean optimizer state); update math stays f32
+            mu_dtype="bfloat16" if use_bf16_mu else None,
         ),
     )
     if gradient_accumulation_steps > 1:

@@ -385,3 +385,32 @@ def test_noise_offset_and_input_perturbation_reach_the_loss():
 
     # ...but through an input-sensitive model it must change the loss
     assert loss_echo(input_perturbation=0.5) != loss_echo()
+
+
+def test_adam_mu_dtype_bf16():
+    """--adam-mu-dtype bf16 (and the --use-8bit-adam parity alias) store the
+    first moment in bfloat16; updates still apply and the variance stays f32."""
+    import optax
+
+    from stable_diffusion_pytorch_tpu.trainers.args import OptimConfig
+    from stable_diffusion_pytorch_tpu.trainers.optim import build_optimizer
+
+    params = {"w": jnp.ones((8, 8), jnp.float32)}
+    grads = {"w": jnp.full((8, 8), 0.5, jnp.float32)}
+
+    def mu_nu(tx):
+        state = tx.init(params)
+        u, state2 = tx.update(grads, state, params)
+        adam_state = state2[1][0]  # chain(clip, adamw) -> adamw ScaleByAdamState
+        return adam_state.mu["w"].dtype, adam_state.nu["w"].dtype, u
+
+    for cfg in [
+        OptimConfig(adam_mu_dtype="bf16", scheduler_type="constant"),
+        OptimConfig(use_8bit_adam=True, scheduler_type="constant"),
+    ]:
+        mu_dt, nu_dt, u = mu_nu(build_optimizer(cfg, max_train_steps=10))
+        assert mu_dt == jnp.bfloat16, mu_dt
+        assert nu_dt == jnp.float32, nu_dt
+        assert float(jnp.abs(u["w"]).max()) > 0.0
+    mu_dt, nu_dt, _ = mu_nu(build_optimizer(OptimConfig(), max_train_steps=10))
+    assert mu_dt == jnp.float32
