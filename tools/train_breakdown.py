@@ -42,18 +42,20 @@ def log(m):
 
 
 def timeit(name, fn, *args, repeats=4):
-    timed = jax.jit(fn)
-    out = timed(*args)  # compile + warmup
-    jax.tree_util.tree_map(lambda x: x.block_until_ready(), out)
-    # axon: block_until_ready does not wait; pull a scalar
-    first = jax.tree_util.tree_leaves(out)[0]
-    float(jnp.sum(first).astype(jnp.float32))
+    # reduce the output to ONE scalar inside the program: keeps the result
+    # buffer tiny (no extra 3.4GB grads tree resident between runs) and the
+    # host float() pull forces completion on the axon runtime (where
+    # block_until_ready does not wait for compute)
+    timed = jax.jit(
+        lambda *a: sum(
+            jnp.sum(x.astype(jnp.float32)) for x in jax.tree_util.tree_leaves(fn(*a))
+        )
+    )
+    float(timed(*args))  # compile + warmup
     times = []
     for _ in range(repeats):
         t0 = time.perf_counter()
-        out = timed(*args)
-        first = jax.tree_util.tree_leaves(out)[0]
-        float(jnp.sum(first).astype(jnp.float32))
+        float(timed(*args))
         times.append(time.perf_counter() - t0)
     best = min(times)
     print(f"{name:44s} {best * 1e3:9.2f} ms", flush=True)
@@ -88,21 +90,16 @@ def main():
     tx = optax.adamw(
         1e-4, mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None
     )
-    train_step, _ = make_unet_train_step(
-        unet, clip, None, schedule, tx, train_with_cfg=False, cfg_dropout_prob=0.1
-    )
-    state = TrainState.create(unet_params, tx)
     batch_d = {"latents": lat, "input_ids": ids}
-    uncond = jnp.full((77,), 49407, jnp.int32)
 
     # (d) CLIP encode alone
     timeit("clip encode", lambda p, i: clip.apply(p, i), clip_params, ids)
 
-    # (b) grads only
+    # (b) grads only (grads are reduced to a scalar inside the program)
     def grads_only(params, cp, b, k):
         def loss(p):
             ctx = jax.lax.stop_gradient(clip.apply(cp, b["input_ids"]))
-            k1, k2, k3 = jax.random.split(k, 3)
+            k1, k2 = jax.random.split(k)
             noise = jax.random.normal(k1, b["latents"].shape, dtype)
             t = jax.random.randint(k2, (batch,), 0, schedule.noise_steps)
             from stable_diffusion_pytorch_tpu.models import schedule as S
@@ -115,21 +112,34 @@ def main():
 
     timeit("unet fwd+bwd (grads only)", grads_only, unet_params, clip_params, batch_d, key)
 
-    # (c) AdamW update alone
+    # (c) AdamW update alone: donate + chain the state like the real trainer
+    # (params 3.4GB + mu/nu 6.8GB + zero grads 3.4GB resident; donation keeps
+    # the new state in-place instead of doubling it)
+    state = TrainState.create(unet_params, tx)
     grads = jax.tree_util.tree_map(jnp.zeros_like, unet_params)
 
-    def adam_only(g, s):
+    def adam_only(s, g):
         updates, new_opt = tx.update(g, s.opt_state, s.params)
-        return optax.apply_updates(s.params, updates)
+        new_params = optax.apply_updates(s.params, updates)
+        probe = jnp.sum(
+            jax.tree_util.tree_leaves(updates)[0].astype(jnp.float32)
+        )
+        return TrainState(
+            step=s.step + 1, params=new_params, opt_state=new_opt,
+            ema_params=None,
+        ), probe
 
-    timeit("adamw update alone", adam_only, grads, state)
-
-    # (a) full train step
-    timeit(
-        "FULL train step",
-        lambda s, cp, b, k: train_step(s, cp, None, b, uncond, k)[0].params,
-        state, clip_params, batch_d, key,
-    )
+    jit_adam = jax.jit(adam_only, donate_argnums=(0,))
+    state, probe = jit_adam(state, grads)  # compile + warmup
+    float(probe)
+    times = []
+    for _ in range(4):
+        t0 = time.perf_counter()
+        state, probe = jit_adam(state, grads)
+        float(probe)
+        times.append(time.perf_counter() - t0)
+    print(f"{'adamw update alone (donated)':44s} {min(times) * 1e3:9.2f} ms", flush=True)
+    log("full train step: see tools/bench_train.py (donated, chained)")
 
 
 if __name__ == "__main__":
