@@ -85,6 +85,15 @@ def main(argv=None):
             cfg.sampling.lora_scale,
         )
 
+    if cfg.sampling.textual_inversion:
+        token = model.text_encoder.load_textual_inversion(
+            cfg.sampling.textual_inversion
+        )
+        logger.info(
+            f"loaded textual inversion from {cfg.sampling.textual_inversion}: "
+            f"placeholder {token!r} is usable in --prompt"
+        )
+
     logger.info(
         f"sampling {cfg.sampling.num_images} image(s) for prompt={cfg.sampling.prompt!r} "
         f"({cfg.sampling.sampler}, {cfg.sampling.sampling_steps} steps, "

@@ -22,7 +22,7 @@ import hashlib
 import os
 import re
 from dataclasses import dataclass, field
-from typing import Optional, Sequence, Union
+from typing import List, Optional, Sequence, Tuple, Union
 
 import jax
 import jax.numpy as jnp
@@ -115,15 +115,35 @@ class CLIPTextTransformer(nn.Module):
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, input_ids: jnp.ndarray) -> jnp.ndarray:
+    def __call__(
+        self,
+        input_ids: jnp.ndarray,
+        token_overrides: Optional[Tuple[jnp.ndarray, jnp.ndarray]] = None,
+    ) -> jnp.ndarray:
+        """``token_overrides=(ids [K], vectors [K, D])`` substitutes learned
+        embedding vectors at positions whose token id matches ``ids[j]`` —
+        the textual-inversion injection point (Gal et al. 2022). Override ids
+        may lie OUTSIDE the vocab (sentinels vocab_size+j); the table lookup
+        is clamped since those positions are replaced anyway. Differentiable
+        in ``vectors``."""
         b, s = input_ids.shape
+        lookup_ids = input_ids
+        if token_overrides is not None:
+            lookup_ids = jnp.clip(input_ids, 0, self.vocab_size - 1)
         tok_emb = nn.Embed(
             self.vocab_size,
             self.d_model,
             dtype=self.dtype,
             param_dtype=jnp.float32,
             name="token_embedding",
-        )(input_ids)
+        )(lookup_ids)
+        if token_overrides is not None:
+            ov_ids, ov_vec = token_overrides
+            hit = input_ids[..., None] == ov_ids[None, None, :]  # [B, S, K]
+            inj = jnp.einsum(
+                "bsk,kd->bsd", hit.astype(self.dtype), ov_vec.astype(self.dtype)
+            )
+            tok_emb = jnp.where(hit.any(-1, keepdims=True), inj, tok_emb)
         pos_emb = self.param(
             "position_embedding",
             nn.initializers.normal(0.01),
@@ -332,6 +352,9 @@ class CLIPModel:
         self.max_seq_len = cfg.max_seq_len
         self.module = CLIPTextTransformer(max_positions=cfg.max_seq_len, dtype=dtype)
         self.tokenizer = _resolve_tokenizer(cfg)
+        # textual inversion state: (placeholder string, sentinel ids [K],
+        # learned vectors [K, 768]); None until add_textual_inversion
+        self._ti = None
         params = load_clip_params(cfg.model_dir) if cfg.model_dir else None
         if params is None:
             import warnings
@@ -352,6 +375,69 @@ class CLIPModel:
             self.pretrained = True
         self.params = params
         self._encode = jax.jit(self.module.apply)
+        self._encode_ti = jax.jit(
+            lambda p, ids, ov_ids, ov_vec: self.module.apply(
+                p, ids, token_overrides=(ov_ids, ov_vec)
+            )
+        )
+
+    # ------------------------------------------------------------------ #
+    # textual inversion (Gal et al. 2022) — no reference counterpart
+    # ------------------------------------------------------------------ #
+
+    def add_textual_inversion(
+        self, placeholder_token: str, vectors: np.ndarray
+    ) -> np.ndarray:
+        """Register a learned concept: ``placeholder_token`` occurrences in
+        prompts tokenize to K sentinel ids (vocab_size + j, outside the real
+        vocab) and ``vectors`` [K, 768] are injected at those positions in
+        ``encode_text``. Returns the sentinel ids. Vectors may be updated
+        later via ``set_textual_inversion_vectors`` (training loop)."""
+        vectors = np.asarray(vectors, np.float32)
+        assert vectors.ndim == 2 and vectors.shape[1] == self.module.d_model
+        ids = np.arange(vectors.shape[0], dtype=np.int32) + VOCAB_SIZE
+        self._ti = (placeholder_token, ids, vectors)
+        return ids
+
+    def set_textual_inversion_vectors(self, vectors) -> None:
+        assert self._ti is not None, "call add_textual_inversion first"
+        self._ti = (self._ti[0], self._ti[1], np.asarray(vectors, np.float32))
+
+    def _plain_ids(self, text: str) -> List[int]:
+        """Tokenize WITHOUT specials/padding (works for HF, our BPE, and the
+        hash fallback: all accept padding=False and emit BOS/EOS to strip)."""
+        if not text.strip():
+            return []
+        ids = list(
+            np.asarray(
+                self.tokenizer(
+                    text, max_length=10_000, padding=False, truncation=False
+                ).input_ids
+            ).reshape(-1)
+        )
+        if ids and ids[0] == BOS_TOKEN_ID:
+            ids = ids[1:]
+        while ids and ids[-1] == EOS_TOKEN_ID:
+            ids = ids[:-1]
+        return [int(i) for i in ids]
+
+    def _tokenize_with_placeholder(
+        self, prompts: Sequence[str], max_len: int
+    ) -> TokenizerOutput:
+        token, sentinel_ids, _ = self._ti
+        rows = []
+        for prompt in prompts:
+            body: List[int] = []
+            for i, part in enumerate(prompt.split(token)):
+                if i > 0:
+                    body.extend(int(s) for s in sentinel_ids)
+                body.extend(self._plain_ids(part))
+            ids = [BOS_TOKEN_ID] + body + [EOS_TOKEN_ID]
+            if len(ids) > max_len:
+                ids = ids[: max_len - 1] + [EOS_TOKEN_ID]
+            ids += [EOS_TOKEN_ID] * (max_len - len(ids))
+            rows.append(ids)
+        return TokenizerOutput(np.asarray(rows, dtype=np.int32))
 
     def tokenize(
         self,
@@ -361,6 +447,11 @@ class CLIPModel:
         truncation: bool = True,
     ) -> TokenizerOutput:
         """clip_model.py:72-85 (pad to max_seq_len, truncate)."""
+        if self._ti is not None and padding == "max_length":
+            prompts = [prompt] if isinstance(prompt, str) else list(prompt)
+            return self._tokenize_with_placeholder(
+                prompts, max_length or self.max_seq_len
+            )
         out = self.tokenizer(
             prompt,
             max_length=max_length or self.max_seq_len,
@@ -369,6 +460,39 @@ class CLIPModel:
         )
         return TokenizerOutput(np.asarray(out.input_ids, dtype=np.int32))
 
+    def load_textual_inversion(self, ckpt_dir: str) -> str:
+        """Load a trained textual-inversion checkpoint (the ``{"ti": [K, 768]}``
+        params plus the ``textual_inversion.json`` sidecar written by
+        TextualInversionTrainer) and register the placeholder. Returns the
+        placeholder token string usable in prompts."""
+        import json
+
+        from stable_diffusion_pytorch_tpu.utils.checkpoint import (
+            find_latest_checkpoint,
+            load_params_for_inference,
+        )
+
+        with open(os.path.join(ckpt_dir, "textual_inversion.json")) as f:
+            sidecar = json.load(f)
+        path = ckpt_dir
+        if not os.path.basename(path).startswith(("checkpoint", "epoch")):
+            path = find_latest_checkpoint(path) or path
+        vectors = np.asarray(load_params_for_inference(path)["ti"], np.float32)
+        assert vectors.shape[0] == sidecar["num_vectors"], (
+            f"sidecar says {sidecar['num_vectors']} vectors, checkpoint has "
+            f"{vectors.shape[0]}"
+        )
+        self.add_textual_inversion(sidecar["placeholder_token"], vectors)
+        return sidecar["placeholder_token"]
+
     def encode_text(self, input_ids: jnp.ndarray) -> jnp.ndarray:
         """[B, S] token ids -> [B, S, 768] embeddings (clip_model.py:87-96)."""
+        if self._ti is not None:
+            _, ids, vectors = self._ti
+            return self._encode_ti(
+                self.params,
+                jnp.asarray(input_ids),
+                jnp.asarray(ids),
+                jnp.asarray(vectors),
+            )
         return self._encode(self.params, jnp.asarray(input_ids))

@@ -110,6 +110,14 @@ class SamplingConfig(BaseConfig):
             "used in training (training default alpha=rank -> 1.0)."
         },
     )
+    textual_inversion: Optional[str] = field(
+        default=None,
+        metadata={
+            "help": "textual-inversion checkpoint dir (from "
+            "train_textual_inversion.py); registers the learned placeholder "
+            "token so it can be used in --prompt."
+        },
+    )
 
 
 def _load_image(image, resolution: int) -> np.ndarray:

@@ -145,6 +145,28 @@ class TrainConfig(BaseConfig):
             "choices": ["attn", "attn_mlp"],
         },
     )
+    placeholder_token: str = field(
+        default="<concept>",
+        metadata={
+            "help": "textual-inversion placeholder string; its occurrences in "
+            "prompts tokenize to the learned embedding slots "
+            "(train_textual_inversion.py only)."
+        },
+    )
+    num_vectors: int = field(
+        default=1,
+        metadata={
+            "help": "number of learned embedding vectors the placeholder "
+            "expands to (textual inversion)."
+        },
+    )
+    initializer_token: str = field(
+        default="",
+        metadata={
+            "help": "word whose embedding initializes the learned vectors "
+            "(textual inversion); empty = small random init."
+        },
+    )
 
 
 @dataclass

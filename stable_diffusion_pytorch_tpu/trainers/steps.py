@@ -323,6 +323,82 @@ def make_unet_train_step(
     return train_step, eval_step
 
 
+def make_textual_inversion_train_step(
+    unet_module,
+    clip_module,
+    vae_module,
+    schedule: DiffusionSchedule,
+    tx: optax.GradientTransformation,
+    placeholder_ids,
+    ema_decay: float = 0.0,
+    gradient_accumulation_steps: int = 1,
+) -> Tuple[Callable, Callable]:
+    """Build (train_step, eval_step) for textual inversion (Gal et al. 2022,
+    "An Image is Worth One Word"). No reference counterpart (capability
+    extension; the ecosystem analog is diffusers' textual_inversion.py).
+
+    Everything is frozen — UNet, VAE, the whole CLIP tower — except K learned
+    embedding vectors injected wherever ``placeholder_ids`` appear in the
+    prompt (see CLIPTextTransformer token_overrides). The trainable state is
+    ``{"ti": [K, 768]}``: a few thousand parameters, so the optimizer state is
+    negligible and checkpoints are KB-sized.
+
+    train_step(state, unet_params, clip_params, vae_params, batch, key)
+        -> (new_state, metrics)
+    eval_step(ti_params, unet_params, clip_params, vae_params, batch, key)
+        -> loss
+    """
+    pids = jnp.asarray(placeholder_ids, jnp.int32)
+
+    def loss_fn(ti_params, unet_params, clip_params, vae_params, batch, key):
+        k_sample, k_noise, k_t = jax.random.split(key, 3)
+        if "latents" in batch:
+            latents = batch["latents"]
+        else:
+            posterior = vae_module.apply(
+                vae_params, batch["pixel_values"], method=vae_module.encode
+            )
+            latents = posterior.latent_dist.sample(k_sample)
+        latents = jax.lax.stop_gradient(latents)
+        bsz = latents.shape[0]
+
+        context = clip_module.apply(
+            clip_params, batch["input_ids"], token_overrides=(pids, ti_params["ti"])
+        )
+
+        noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+        timesteps = jax.random.randint(k_t, (bsz,), 0, schedule.noise_steps)
+        x_t = sched_lib.add_noise(schedule, latents, noise, timesteps)
+        eps = unet_module.apply(unet_params, x_t, timesteps, context)
+        return jnp.mean((eps.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
+
+    def train_step(state: TrainState, unet_params, clip_params, vae_params, batch, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, unet_params, clip_params, vae_params, batch, key
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+                ema_params=_ema_update(
+                    state.ema_params,
+                    new_params,
+                    _ema_decay_at(state.step, ema_decay, gradient_accumulation_steps),
+                ),
+            ),
+            metrics,
+        )
+
+    def eval_step(ti_params, unet_params, clip_params, vae_params, batch, key):
+        return loss_fn(ti_params, unet_params, clip_params, vae_params, batch, key)
+
+    return train_step, eval_step
+
+
 def make_vae_train_step(
     vae_module,
     tx: optax.GradientTransformation,

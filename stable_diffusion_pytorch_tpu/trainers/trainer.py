@@ -39,6 +39,7 @@ from stable_diffusion_pytorch_tpu.parallel import mesh as mesh_lib
 from stable_diffusion_pytorch_tpu.trainers.optim import build_optimizer, lr_at_step
 from stable_diffusion_pytorch_tpu.trainers.steps import (
     TrainState,
+    make_textual_inversion_train_step,
     make_unet_train_step,
     make_vae_train_step,
 )
@@ -546,6 +547,104 @@ class UNetTrainer(Trainer):
             sampler="ddim",
             seed=self.cfg.train.seed,
             name="unet_sample",
+        )
+        self.tracker.log_images({"sampled image": outs[0]}, step=global_step)
+
+
+class TextualInversionTrainer(Trainer):
+    """Textual inversion (Gal et al. 2022): everything frozen except K learned
+    embedding vectors for a placeholder token. No reference counterpart.
+
+    The script must have called ``model.text_encoder.add_textual_inversion``
+    before constructing the trainer (it defines the sentinel ids the datasets'
+    tokenization already used)."""
+
+    run_name = "train_textual_inversion"
+    eval_cadence_offset = 0
+
+    def __init__(self, model, cfg, train_dataset, eval_dataset, logger=None):
+        self.model = model
+        super().__init__(cfg, train_dataset, eval_dataset, logger)
+
+    def _build(self) -> None:
+        cfg = self.cfg
+        model = self.model
+        te = model.text_encoder
+        assert te._ti is not None, (
+            "call model.text_encoder.add_textual_inversion(...) before "
+            "building the TextualInversionTrainer"
+        )
+        self._placeholder, pids, vectors = te._ti
+
+        train_step, eval_step = make_textual_inversion_train_step(
+            model.unet,
+            te.module,
+            model.autoencoder,
+            model.noise_scheduler,
+            self.tx,
+            placeholder_ids=pids,
+            ema_decay=cfg.train.ema_decay,
+            gradient_accumulation_steps=cfg.train.gradient_accumulation_steps,
+        )
+        self._jit_train = jax.jit(train_step, donate_argnums=(0,))
+        self._jit_eval = jax.jit(eval_step)
+
+        self.state = self._place_state(
+            TrainState.create(
+                {"ti": jnp.asarray(vectors, jnp.float32)},
+                self.tx,
+                with_ema=cfg.train.ema_decay > 0,
+            )
+        )
+        self.unet_params = mesh_lib.put_replicated(self.mesh, model.unet_params)
+        self.clip_params = mesh_lib.put_replicated(self.mesh, te.params)
+        self.vae_params = mesh_lib.put_replicated(self.mesh, model.autoencoder_params)
+
+        if self.is_main_process:
+            # sidecar so sampling can rebuild the tokenizer mapping
+            import json
+
+            os.makedirs(cfg.checkpoint.ckpt_dir, exist_ok=True)
+            with open(
+                os.path.join(cfg.checkpoint.ckpt_dir, "textual_inversion.json"), "w"
+            ) as f:
+                json.dump(
+                    {
+                        "placeholder_token": self._placeholder,
+                        "num_vectors": int(len(pids)),
+                    },
+                    f,
+                )
+
+    def _train_step(self, batch, key):
+        self.state, metrics = self._jit_train(
+            self.state, self.unet_params, self.clip_params, self.vae_params,
+            batch, key,
+        )
+        return metrics
+
+    def _eval_step(self, batch, key):
+        return self._jit_eval(
+            self.state.params, self.unet_params, self.clip_params,
+            self.vae_params, batch, key,
+        )
+
+    def log_images(self, global_step: int) -> None:
+        from stable_diffusion_pytorch_tpu.pipeline import sample as sample_pipeline
+
+        self.model.text_encoder.set_textual_inversion_vectors(
+            jax.device_get(self.state.params["ti"])
+        )
+        outs = sample_pipeline(
+            self.model,
+            image_size=self.cfg.dataset.resolution,
+            prompt=f"a photo of a {self._placeholder}",
+            time_steps=50,
+            guidance_scale=self.cfg.train.guidance_scale,
+            save_dir="output",
+            sampler="ddim",
+            seed=self.cfg.train.seed,
+            name="ti_sample",
         )
         self.tracker.log_images({"sampled image": outs[0]}, step=global_step)
 

@@ -340,6 +340,67 @@ class HFImageTextDataset:
         }
 
 
+# Prompt templates from the textual-inversion paper (Gal et al. 2022,
+# "imagenet_templates_small"); no reference counterpart — capability beyond
+# /root/reference (the ecosystem analog is diffusers textual_inversion.py).
+TI_TEMPLATES = [
+    "a photo of a {}",
+    "a rendering of a {}",
+    "the photo of a {}",
+    "a photo of a clean {}",
+    "a photo of a dirty {}",
+    "a dark photo of the {}",
+    "a photo of my {}",
+    "a photo of the cool {}",
+    "a close-up photo of a {}",
+    "a bright photo of the {}",
+    "a cropped photo of a {}",
+    "a photo of the {}",
+    "a good photo of the {}",
+    "a photo of one {}",
+    "a rendition of the {}",
+    "a photo of a nice {}",
+    "a photo of a small {}",
+]
+
+
+class TextualInversionDataset:
+    """Wrap any image dataset: keep its pixels, replace every caption with a
+    TI template rendered with the placeholder token ("a photo of a <concept>").
+
+    ``tokenize`` must be the TI-aware ``CLIPModel.tokenize`` bound method (it
+    expands the placeholder into the learned sentinel ids); the base dataset's
+    own captions/input_ids are discarded. Template choice varies per row and
+    per epoch like the base augmentation randomness."""
+
+    def __init__(self, base, placeholder_token: str, tokenize):
+        self.base = base
+        self.placeholder_token = placeholder_token
+        self.tokenize = tokenize
+        self.epoch = 0
+        self.synthetic_fallback = bool(getattr(base, "synthetic_fallback", False))
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        if hasattr(self.base, "set_epoch"):
+            self.base.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, idx: int) -> dict:
+        row = dict(self.base[int(idx)])
+        rng = np.random.default_rng(np.random.SeedSequence([self.epoch, idx, 7]))
+        text = TI_TEMPLATES[int(rng.integers(len(TI_TEMPLATES)))].format(
+            self.placeholder_token
+        )
+        row["text"] = text
+        row["input_ids"] = np.asarray(
+            self.tokenize([text]).input_ids, dtype=np.int32
+        )[0]
+        return row
+
+
 def _split_window(cfg: DatasetConfig, split: str, total: int, logger=None):
     """The reference's manual windowing rules (prepare_dataset.py:181-215)."""
     mtr, mva, mte = cfg.max_train_samples, cfg.max_val_samples, cfg.max_test_samples
