@@ -421,23 +421,62 @@ class CLIPModel:
             ids = ids[:-1]
         return [int(i) for i in ids]
 
+    def _body_ids(self, text: str) -> List[int]:
+        """Fragment tokenization without specials: placeholder-aware when a
+        textual-inversion token is registered (expands to sentinel ids)."""
+        if self._ti is None:
+            return self._plain_ids(text)
+        token, sentinel_ids, _ = self._ti
+        body: List[int] = []
+        for i, part in enumerate(text.split(token)):
+            if i > 0:
+                body.extend(int(s) for s in sentinel_ids)
+            body.extend(self._plain_ids(part))
+        return body
+
+    @staticmethod
+    def _finish_row(ids: List[int], max_len: int) -> List[int]:
+        """BOS + body + EOS, truncate keeping terminal EOS, pad with EOS
+        (clip_model.py:72-85 semantics)."""
+        row = [BOS_TOKEN_ID] + ids + [EOS_TOKEN_ID]
+        if len(row) > max_len:
+            row = row[: max_len - 1] + [EOS_TOKEN_ID]
+        return row + [EOS_TOKEN_ID] * (max_len - len(row))
+
     def _tokenize_with_placeholder(
         self, prompts: Sequence[str], max_len: int
     ) -> TokenizerOutput:
-        token, sentinel_ids, _ = self._ti
-        rows = []
+        rows = [self._finish_row(self._body_ids(p), max_len) for p in prompts]
+        return TokenizerOutput(np.asarray(rows, dtype=np.int32))
+
+    def tokenize_weighted(
+        self,
+        prompts: Sequence[str],
+        max_length: Optional[int] = None,
+    ) -> Tuple[TokenizerOutput, np.ndarray]:
+        """Tokenize prompts carrying ``(word:1.3)`` emphasis syntax (see
+        models/prompt_weighting.py). Returns (TokenizerOutput [B, S],
+        per-token weights [B, S] f32); specials and padding get weight 1."""
+        from stable_diffusion_pytorch_tpu.models.prompt_weighting import (
+            parse_weighted_prompt,
+        )
+
+        max_len = max_length or self.max_seq_len
+        rows, weight_rows = [], []
         for prompt in prompts:
             body: List[int] = []
-            for i, part in enumerate(prompt.split(token)):
-                if i > 0:
-                    body.extend(int(s) for s in sentinel_ids)
-                body.extend(self._plain_ids(part))
-            ids = [BOS_TOKEN_ID] + body + [EOS_TOKEN_ID]
-            if len(ids) > max_len:
-                ids = ids[: max_len - 1] + [EOS_TOKEN_ID]
-            ids += [EOS_TOKEN_ID] * (max_len - len(ids))
-            rows.append(ids)
-        return TokenizerOutput(np.asarray(rows, dtype=np.int32))
+            wts: List[float] = []
+            for text, w in parse_weighted_prompt(prompt):
+                ids = self._body_ids(text)
+                body.extend(ids)
+                wts.extend([w] * len(ids))
+            rows.append(self._finish_row(body, max_len))
+            wrow = [1.0] + wts[: max_len - 2] + [1.0]
+            weight_rows.append(wrow + [1.0] * (max_len - len(wrow)))
+        return (
+            TokenizerOutput(np.asarray(rows, dtype=np.int32)),
+            np.asarray(weight_rows, dtype=np.float32),
+        )
 
     def tokenize(
         self,
@@ -485,14 +524,32 @@ class CLIPModel:
         self.add_textual_inversion(sidecar["placeholder_token"], vectors)
         return sidecar["placeholder_token"]
 
-    def encode_text(self, input_ids: jnp.ndarray) -> jnp.ndarray:
-        """[B, S] token ids -> [B, S, 768] embeddings (clip_model.py:87-96)."""
+    def encode_text(
+        self,
+        input_ids: jnp.ndarray,
+        token_weights: Optional[np.ndarray] = None,
+    ) -> jnp.ndarray:
+        """[B, S] token ids -> [B, S, 768] embeddings (clip_model.py:87-96).
+
+        ``token_weights`` [B, S] applies per-token emphasis post-encoder: each
+        token embedding is scaled by its weight, then the sequence is rescaled
+        so its mean magnitude matches the unweighted encoding (the compel
+        "original mean" scheme, with abs-mean for numerical robustness)."""
         if self._ti is not None:
             _, ids, vectors = self._ti
-            return self._encode_ti(
+            emb = self._encode_ti(
                 self.params,
                 jnp.asarray(input_ids),
                 jnp.asarray(ids),
                 jnp.asarray(vectors),
             )
-        return self._encode(self.params, jnp.asarray(input_ids))
+        else:
+            emb = self._encode(self.params, jnp.asarray(input_ids))
+        if token_weights is not None:
+            w = jnp.asarray(token_weights, jnp.float32)
+            f = emb.astype(jnp.float32)
+            prev = jnp.mean(jnp.abs(f), axis=(-2, -1), keepdims=True)
+            f = f * w[..., None]
+            new = jnp.mean(jnp.abs(f), axis=(-2, -1), keepdims=True)
+            emb = (f * (prev / jnp.maximum(new, 1e-8))).astype(emb.dtype)
+        return emb

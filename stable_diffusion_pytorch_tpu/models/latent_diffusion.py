@@ -402,8 +402,23 @@ class LatentDiffusion:
     # embedding helpers
     # ------------------------------------------------------------------ #
 
-    def encode_prompts(self, prompts) -> jnp.ndarray:
-        ids = self.text_encoder.tokenize(list(prompts)).input_ids
+    def encode_prompts(self, prompts, weighted: Optional[bool] = None) -> jnp.ndarray:
+        """``weighted=None`` auto-detects ``(word:1.3)`` emphasis syntax
+        (models/prompt_weighting.py); disabled in reference-compat mode, where
+        brackets stay literal like the reference tokenizer treats them."""
+        prompts = list(prompts)
+        if weighted is None:
+            from stable_diffusion_pytorch_tpu.models.prompt_weighting import (
+                has_weight_syntax,
+            )
+
+            weighted = not (
+                self.compat is not None and self.compat.reference_compat
+            ) and any(has_weight_syntax(p) for p in prompts)
+        if weighted:
+            out, w = self.text_encoder.tokenize_weighted(prompts)
+            return self.text_encoder.encode_text(out.input_ids, token_weights=w)
+        ids = self.text_encoder.tokenize(prompts).input_ids
         return self.text_encoder.encode_text(ids)
 
     def encode_uncond(self, batch_size: int, text: str = "") -> jnp.ndarray:

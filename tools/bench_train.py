@@ -6,7 +6,8 @@ the Pallas flash fwd+bwd kernels + AdamW) from cached latents at 512x512-scale
 (64x64x4 latents), the "train_unet samples/sec" driver metric. Prints one JSON
 line like bench.py.
 
-Env: TB_BATCH (8), TB_REPEATS (5), TB_REMAT (0), TB_PRESET (sd15|reference).
+Env: TB_BATCH (8), TB_REPEATS (5), TB_REMAT (0), TB_PRESET (sd15|reference),
+TB_MU_DTYPE (f32|bf16) to A/B the AdamW first-moment dtype (HBM-traffic lever).
 """
 
 import json
@@ -78,7 +79,11 @@ def main():
         lambda s: jnp.zeros(s.shape, s.dtype), clip_shapes
     )
 
-    tx = optax.chain(optax.clip_by_global_norm(1.0), optax.adamw(1e-5))
+    mu_dtype = os.environ.get("TB_MU_DTYPE", "f32")
+    tx = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.adamw(1e-5, mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None),
+    )
     train_step, _ = make_unet_train_step(unet, clip, None, schedule, tx)
     jit_step = jax.jit(train_step, donate_argnums=(0,))
     state = TrainState.create(unet_params, tx)
