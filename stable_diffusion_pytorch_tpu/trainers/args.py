@@ -167,6 +167,66 @@ class TrainConfig(BaseConfig):
             "(textual inversion); empty = small random init."
         },
     )
+    cfg_dropout_prob: float = field(
+        default=0.1,
+        metadata={
+            "help": "probability of swapping a prompt for the empty prompt "
+            "during UNet training (classifier-free-guidance dropout; the "
+            "reference hardcodes 0.1, train_unet.py:518-521)."
+        },
+    )
+    instance_data_dir: str = field(
+        default="",
+        metadata={
+            "help": "folder of subject images for DreamBooth "
+            "(train_dreambooth.py only)."
+        },
+    )
+    instance_prompt: str = field(
+        default="a photo of sks subject",
+        metadata={
+            "help": "prompt with the rare identifier describing the DreamBooth "
+            "subject, e.g. 'a photo of sks dog'."
+        },
+    )
+    with_prior_preservation: bool = field(
+        default=False,
+        metadata={
+            "help": "DreamBooth: add the class-prior preservation loss "
+            "(Ruiz et al. 2022) using generated class images."
+        },
+    )
+    class_data_dir: str = field(
+        default="",
+        metadata={
+            "help": "folder of class images for prior preservation; missing "
+            "images are generated by the current model before training."
+        },
+    )
+    class_prompt: str = field(
+        default="a photo of a subject",
+        metadata={
+            "help": "class prompt (no identifier) used to generate and train "
+            "on prior-preservation images."
+        },
+    )
+    num_class_images: int = field(
+        default=16,
+        metadata={
+            "help": "how many class images prior preservation uses (generated "
+            "into --class-data-dir if fewer are present)."
+        },
+    )
+    prior_loss_weight: float = field(
+        default=1.0,
+        metadata={"help": "weight of the prior-preservation loss term."},
+    )
+    class_sampling_steps: int = field(
+        default=50,
+        metadata={
+            "help": "DDIM steps used when generating missing class images."
+        },
+    )
 
 
 @dataclass

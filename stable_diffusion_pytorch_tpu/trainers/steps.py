@@ -129,6 +129,7 @@ def make_unet_train_step(
     noise_offset: float = 0.0,
     input_perturbation: float = 0.0,
     param_transform: Optional[Callable] = None,
+    prior_loss_weight: float = 0.0,
 ) -> Tuple[Callable, Callable]:
     """Build (train_step, eval_step) for latent-diffusion fine-tuning.
 
@@ -136,6 +137,12 @@ def make_unet_train_step(
     (train_unet.py:529): ``prediction_type="v_prediction"`` trains the
     SD-2.x-style v-objective (Salimans & Ho 2022), and ``snr_gamma > 0``
     applies Min-SNR-gamma per-example loss weights (Hang et al. 2023).
+    ``prior_loss_weight > 0`` enables the DreamBooth prior-preservation
+    objective (Ruiz et al. 2022): batches interleave instance rows (even
+    indices) with class rows (odd indices — see
+    utils/data.py:dreambooth_collate; interleaving keeps both populations on
+    every device under data-parallel sharding), and
+    loss = MSE(instance) + w * MSE(class).
 
     train_step(state, clip_params, vae_params, batch, uncond_ids, key)
         -> (new_state, metrics)
@@ -280,10 +287,17 @@ def make_unet_train_step(
         else:
             target = noise.astype(jnp.float32)
         sq = (pred.astype(jnp.float32) - target) ** 2
-        if snr_gamma > 0.0:
-            w = sched_lib.min_snr_weight(schedule, t, snr_gamma, prediction_type)
+        if snr_gamma > 0.0 or prior_loss_weight > 0.0:
             per_example = jnp.mean(sq.reshape(sq.shape[0], -1), axis=1)
-            return jnp.mean(w * per_example)
+            if snr_gamma > 0.0:
+                w = sched_lib.min_snr_weight(schedule, t, snr_gamma, prediction_type)
+                per_example = w * per_example
+            if prior_loss_weight > 0.0:
+                # even rows = instance, odd rows = class (prior)
+                return jnp.mean(per_example[0::2]) + prior_loss_weight * jnp.mean(
+                    per_example[1::2]
+                )
+            return jnp.mean(per_example)
         return jnp.mean(sq)
 
     def train_step(state: TrainState, clip_params, vae_params, batch, uncond_ids, key):

@@ -472,7 +472,7 @@ class UNetTrainer(Trainer):
             guidance_scale=cfg.train.guidance_scale,
             train_with_cfg=bool(compat and compat.train_with_cfg),
             reference_cfg_formula=bool(compat and compat.cfg_formula),
-            cfg_dropout_prob=0.1,
+            cfg_dropout_prob=float(getattr(cfg.train, "cfg_dropout_prob", 0.1)),
             whole_batch_cfg_dropout=bool(compat and compat.reference_compat),
             ema_decay=cfg.train.ema_decay,
             random_flip=bool(
@@ -490,6 +490,11 @@ class UNetTrainer(Trainer):
                 getattr(cfg.train, "input_perturbation", 0.0) or 0.0
             ),
             param_transform=self._lora_transform,
+            prior_loss_weight=(
+                float(getattr(cfg.train, "prior_loss_weight", 0.0) or 0.0)
+                if getattr(cfg.train, "with_prior_preservation", False)
+                else 0.0
+            ),
         )
         self._jit_train = jax.jit(train_step, donate_argnums=(0,))
         self._jit_eval = jax.jit(eval_step)

@@ -401,6 +401,109 @@ class TextualInversionDataset:
         return row
 
 
+class FolderPromptDataset:
+    """Images from a local folder, every row captioned with ONE fixed prompt
+    (the DreamBooth instance/class dataset shape; Ruiz et al. 2022). No
+    reference counterpart — capability extension."""
+
+    _EXTS = (".png", ".jpg", ".jpeg", ".webp", ".bmp")
+
+    def __init__(self, folder: str, prompt: str, cfg: DatasetConfig, tokenizer):
+        self.folder = folder
+        self.prompt = prompt
+        self.cfg = cfg
+        self.paths = sorted(
+            os.path.join(folder, f)
+            for f in os.listdir(folder)
+            if f.lower().endswith(self._EXTS)
+        )
+        assert self.paths, f"no images found under {folder!r}"
+        self.input_ids = tokenize_captions([prompt], tokenizer)[0]
+        self.epoch = 0
+        self.synthetic_fallback = False
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        return len(self.paths)
+
+    def __getitem__(self, idx: int) -> dict:
+        from PIL import Image
+
+        img = np.asarray(Image.open(self.paths[int(idx)]).convert("RGB"))
+        pixel_values = transform_image(
+            img,
+            self.cfg.resolution,
+            center_crop=self.cfg.center_crop,
+            random_flip=self.cfg.random_flip,
+            rng=np.random.default_rng(np.random.SeedSequence([self.epoch, idx])),
+        )
+        return {
+            "pixel_values": pixel_values,
+            "input_ids": self.input_ids,
+            "text": self.prompt,
+        }
+
+
+class DreamBoothDataset:
+    """Pair every instance row with a class (prior) row. ``__getitem__``
+    returns both; ``dreambooth_collate`` interleaves them (even rows instance,
+    odd rows class) so the train step's prior-preservation loss can split them
+    with a stride — see trainers/steps.py (prior_loss_weight)."""
+
+    def __init__(self, instance_ds, class_ds):
+        self.instance_ds = instance_ds
+        self.class_ds = class_ds
+        self.epoch = 0
+        self.synthetic_fallback = bool(
+            getattr(instance_ds, "synthetic_fallback", False)
+        )
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+        for ds in (self.instance_ds, self.class_ds):
+            if hasattr(ds, "set_epoch"):
+                ds.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return max(len(self.instance_ds), len(self.class_ds))
+
+    def __getitem__(self, idx: int) -> dict:
+        inst = self.instance_ds[int(idx) % len(self.instance_ds)]
+        # decorrelate the class pairing across epochs
+        shift = int(
+            np.random.default_rng(np.random.SeedSequence([self.epoch])).integers(
+                1 << 30
+            )
+        )
+        cls = self.class_ds[(int(idx) + shift) % len(self.class_ds)]
+        return {
+            "pixel_values": inst["pixel_values"],
+            "input_ids": inst["input_ids"],
+            "class_pixel_values": cls["pixel_values"],
+            "class_input_ids": cls["input_ids"],
+        }
+
+
+def dreambooth_collate(examples: Sequence[dict]) -> dict:
+    """Interleave instance (even) and class (odd) rows into one 2B batch of
+    standard keys, keeping both populations on every device when the batch
+    axis is sharded contiguously over the data mesh."""
+    pixels = np.empty(
+        (2 * len(examples),) + np.asarray(examples[0]["pixel_values"]).shape,
+        np.float32,
+    )
+    ids = np.empty((2 * len(examples),) + np.asarray(examples[0]["input_ids"]).shape,
+                   np.int32)
+    for i, e in enumerate(examples):
+        pixels[2 * i] = e["pixel_values"]
+        pixels[2 * i + 1] = e["class_pixel_values"]
+        ids[2 * i] = e["input_ids"]
+        ids[2 * i + 1] = e["class_input_ids"]
+    return {"pixel_values": pixels, "input_ids": ids}
+
+
 def _split_window(cfg: DatasetConfig, split: str, total: int, logger=None):
     """The reference's manual windowing rules (prepare_dataset.py:181-215)."""
     mtr, mva, mte = cfg.max_train_samples, cfg.max_val_samples, cfg.max_test_samples
