@@ -85,6 +85,40 @@ def main(argv=None):
             cfg.sampling.lora_scale,
         )
 
+    if cfg.sampling.controlnet_checkpoint:
+        import os as _os
+
+        from stable_diffusion_pytorch_tpu.models.controlnet import ControlNet
+        from stable_diffusion_pytorch_tpu.utils.checkpoint import (
+            find_latest_checkpoint,
+            load_params_for_inference,
+        )
+
+        assert cfg.sampling.control_image, (
+            "--controlnet-checkpoint needs --control-image"
+        )
+        path = cfg.sampling.controlnet_checkpoint
+        if _os.path.isdir(path) and not _os.path.basename(path).startswith(
+            ("checkpoint", "epoch")
+        ):
+            path = find_latest_checkpoint(path) or path
+        controlnet = ControlNet.from_unet_config(
+            model.unet.latent_channels,
+            cfg.model.autoencoder.groups,
+            cfg.model.unet,
+            hint_downsamples=len(
+                cfg.model.autoencoder.autoencoder_channels_list
+            ) - 1,
+            compat=compat,
+            dtype=dtype,
+        )
+        model.attach_controlnet(controlnet, load_params_for_inference(path))
+        logger.info(
+            f"loaded ControlNet from {path} "
+            f"(hint: {cfg.sampling.control_image}, "
+            f"scale {cfg.sampling.control_scale:g})"
+        )
+
     if cfg.sampling.textual_inversion:
         token = model.text_encoder.load_textual_inversion(
             cfg.sampling.textual_inversion
@@ -118,6 +152,10 @@ def main(argv=None):
         prediction_type=cfg.sampling.prediction_type,
         timestep_spacing=cfg.sampling.timestep_spacing,
         guidance_rescale=cfg.sampling.guidance_rescale,
+        control_image=cfg.sampling.control_image
+        if cfg.sampling.controlnet_checkpoint
+        else None,
+        control_scale=cfg.sampling.control_scale,
     )
     logger.info(f"saved to {cfg.sampling.output_dir}/")
 

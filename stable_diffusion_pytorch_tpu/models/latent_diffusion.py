@@ -94,6 +94,43 @@ def make_pred_noise_fn(
     return pred_noise
 
 
+def _merge_control_params(unet_params, controlnet_params):
+    """One param tree for ControlledUNetModel: {"params": {"unet", "controlnet"}}."""
+    up = unet_params["params"] if "params" in unet_params else unet_params
+    cp = (
+        controlnet_params["params"]
+        if "params" in controlnet_params
+        else controlnet_params
+    )
+    return {"params": {"unet": up, "controlnet": cp}}
+
+
+class _ControlShim:
+    """Duck-typed ``unet_module`` for the samplers: ``apply(packed, x, t, c)``
+    where ``packed = (merged_params, hint)``. The hint stays a traced input —
+    no recompile per image — and is tiled when CFG doubles the batch."""
+
+    def __init__(self, unet_module, controlnet_module, control_scale: float = 1.0):
+        from stable_diffusion_pytorch_tpu.models.controlnet import (
+            ControlledUNetModel,
+        )
+
+        self.module = ControlledUNetModel(
+            unet=unet_module, controlnet=controlnet_module
+        )
+        self.control_scale = control_scale
+        self.dtype = unet_module.dtype
+
+    def apply(self, packed, x, t, context_emb):
+        params, hint = packed
+        if hint.shape[0] != x.shape[0]:  # CFG doubled the batch
+            reps = x.shape[0] // hint.shape[0]
+            hint = jnp.concatenate([hint] * reps, axis=0)
+        return self.module.apply(
+            params, x, t, context_emb, hint, control_scale=self.control_scale
+        )
+
+
 SIGMA_SPACE_SAMPLERS = ("euler", "euler_a", "heun", "dpmpp_sde")
 SAMPLERS = ("ddim", "ddpm", "dpmpp") + SIGMA_SPACE_SAMPLERS
 
@@ -396,7 +433,16 @@ class LatentDiffusion:
         self.text_encoder = text_encoder
         self.noise_scheduler = schedule
         self.compat = compat
+        self.controlnet = None  # set via attach_controlnet
+        self.controlnet_params = None
         self._jit_cache: dict = {}
+
+    def attach_controlnet(self, controlnet_module, controlnet_params) -> None:
+        """Register a ControlNet (models/controlnet.py); subsequent ``sample``
+        calls may pass ``control_hint`` to steer generation."""
+        self.controlnet = controlnet_module
+        self.controlnet_params = controlnet_params
+        self._jit_cache.clear()
 
     # ------------------------------------------------------------------ #
     # embedding helpers
@@ -466,6 +512,8 @@ class LatentDiffusion:
         prediction_type: str = "epsilon",
         timestep_spacing: str = "even",
         guidance_rescale: float = 0.0,
+        control_hint: Optional[jnp.ndarray] = None,
+        control_scale: float = 1.0,
     ) -> jnp.ndarray:
         """Reverse loop x_T -> x_0 (latent_diffusion.py:67-126), jit-compiled.
 
@@ -473,9 +521,19 @@ class LatentDiffusion:
         ``sampler="ddim"`` for the fast deterministic path, or any of
         ``SAMPLERS`` (sigma-space euler/euler_a/heun/dpmpp_sde supported,
         optionally on ``karras`` spacing).
+
+        ``control_hint`` [B, H, W, C] (pixel-space conditioning image, [-1,1])
+        routes every denoiser call through the attached ControlNet
+        (``attach_controlnet``); the hint rides the sampler as a traced input
+        packed alongside the params, so one compiled program serves any hint.
         """
         num_steps = time_steps or self.noise_scheduler.noise_steps
         compat = self.compat
+        use_control = control_hint is not None
+        if use_control:
+            assert self.controlnet is not None, (
+                "call attach_controlnet(...) before sampling with control_hint"
+            )
         cache_key = (
             num_steps,
             sampler,
@@ -489,10 +547,13 @@ class LatentDiffusion:
             float(guidance_rescale),
             noised_sample.shape,
             context_emb.shape,
+            (jnp.shape(control_hint), float(control_scale)) if use_control else None,
         )
         if cache_key not in self._jit_cache:
             fn = make_sample_fn(
-                self.unet,
+                _ControlShim(self.unet, self.controlnet, float(control_scale))
+                if use_control
+                else self.unet,
                 self.noise_scheduler,
                 num_steps,
                 sampler=sampler,
@@ -521,6 +582,12 @@ class LatentDiffusion:
         )
         if key is None:
             key = jax.random.PRNGKey(0)
+        if use_control:
+            packed = (
+                _merge_control_params(self.unet_params, self.controlnet_params),
+                jnp.asarray(control_hint, noised_sample.dtype),
+            )
+            return sample_fn(packed, noised_sample, context_emb, uncond, key)
         return sample_fn(self.unet_params, noised_sample, context_emb, uncond, key)
 
     # ------------------------------------------------------------------ #

@@ -244,8 +244,14 @@ class UNetModel(nn.Module):
         timesteps: jnp.ndarray,
         context_emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        control: Optional[Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]] = None,
     ) -> jnp.ndarray:
-        """x: [B, h, w, latent_channels]; timesteps: [B]; context: [B, S, ctx_dim]."""
+        """x: [B, h, w, latent_channels]; timesteps: [B]; context: [B, S, ctx_dim].
+
+        ``control`` = (skip_residuals, mid_residual) from a ControlNet
+        (models/controlnet.py): one residual per skip feature (added as the
+        decoder consumes them) plus one added to the bottleneck output
+        (Zhang et al. 2023 §3.3)."""
         if context_emb is not None:
             assert context_emb.shape[-1] == self.context_dim
         ch0 = self.channels_list[0]
@@ -329,6 +335,15 @@ class UNetModel(nn.Module):
             dtype=self.dtype,
             name="mid_res2",
         )(x, t_emb, deterministic)
+
+        if control is not None:
+            c_skips, c_mid = control
+            assert len(c_skips) == len(skips), (
+                f"ControlNet produced {len(c_skips)} skip residuals, UNet has "
+                f"{len(skips)} skips"
+            )
+            x = x + c_mid.astype(x.dtype)
+            skips = [s + c.astype(s.dtype) for s, c in zip(skips, c_skips)]
 
         # 5. output blocks with skip concat (unet.py:306-309)
         for i, (_, _, oc, attn, upsample) in enumerate(out_plan):

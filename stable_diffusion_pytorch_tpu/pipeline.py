@@ -118,6 +118,24 @@ class SamplingConfig(BaseConfig):
             "token so it can be used in --prompt."
         },
     )
+    controlnet_checkpoint: Optional[str] = field(
+        default=None,
+        metadata={
+            "help": "ControlNet checkpoint dir (from train_controlnet.py); "
+            "requires --control-image."
+        },
+    )
+    control_image: Optional[str] = field(
+        default=None,
+        metadata={
+            "help": "conditioning image (e.g. edge map) steering sampling "
+            "through the loaded ControlNet."
+        },
+    )
+    control_scale: float = field(
+        default=1.0,
+        metadata={"help": "strength of the ControlNet residuals (0 = off)."},
+    )
 
 
 def _load_image(image, resolution: int) -> np.ndarray:
@@ -278,8 +296,14 @@ def sample(
     prediction_type: str = "epsilon",
     timestep_spacing: str = "even",
     guidance_rescale: float = 0.0,
+    control_image=None,
+    control_scale: float = 1.0,
 ) -> List[np.ndarray]:
     """Sample image(s); returns HWC uint8 arrays and saves PNGs.
+
+    ``control_image`` (path / HWC uint8 / [-1,1] float array) steers sampling
+    through the attached ControlNet (``model.attach_controlnet``), scaled by
+    ``control_scale``.
 
     Call surface mirrors the reference ``sample`` (scripts/txt2img.py:14-48).
     Batched serving extension: ``prompt`` may be a LIST of prompts (then
@@ -324,6 +348,10 @@ def sample(
 
     context_emb = model.encode_prompts(prompts).astype(dtype)
 
+    control_hint = None
+    if control_image is not None:
+        control_hint = jnp.asarray(_load_image(control_image, image_size))
+
     x_0 = model.sample(
         noised_sample=noise,
         context_emb=context_emb,
@@ -339,6 +367,8 @@ def sample(
         prediction_type=prediction_type,
         timestep_spacing=timestep_spacing,
         guidance_rescale=guidance_rescale,
+        control_hint=control_hint,
+        control_scale=control_scale,
     )
     images = model.decode_latent(x_0)
     images = np.asarray(images.astype(jnp.float32))

@@ -413,6 +413,98 @@ def make_textual_inversion_train_step(
     return train_step, eval_step
 
 
+def make_controlnet_train_step(
+    controlled_module,
+    clip_module,
+    vae_module,
+    schedule: DiffusionSchedule,
+    tx: optax.GradientTransformation,
+    cfg_dropout_prob: float = 0.5,
+    ema_decay: float = 0.0,
+    gradient_accumulation_steps: int = 1,
+) -> Tuple[Callable, Callable]:
+    """Build (train_step, eval_step) for ControlNet training (Zhang et al.
+    2023). No reference counterpart (ecosystem analog: diffusers
+    train_controlnet.py). The UNet, VAE and CLIP are frozen; only the control
+    branch (encoder copy + hint embedding + zero convs) trains.
+
+    ``cfg_dropout_prob`` defaults to 0.5: the paper drops the text prompt half
+    the time so the control branch learns to steer WITHOUT language support.
+
+    train_step(state, unet_params, clip_params, vae_params, batch, uncond_ids, key)
+        -> (new_state, metrics)
+    eval_step(cn_params, unet_params, clip_params, vae_params, batch, uncond_ids, key)
+        -> loss
+
+    batch adds ``hint`` [B, H, W, C] (pixel-space conditioning, [-1,1]) to the
+    usual pixel_values/latents + input_ids keys.
+    """
+
+    def loss_fn(cn_params, unet_params, clip_params, vae_params, batch, uncond_ids, key):
+        k_sample, k_noise, k_t, k_drop = jax.random.split(key, 4)
+        if "latents" in batch:
+            latents = batch["latents"]
+        else:
+            posterior = vae_module.apply(
+                vae_params, batch["pixel_values"], method=vae_module.encode
+            )
+            latents = posterior.latent_dist.sample(k_sample)
+        latents = jax.lax.stop_gradient(latents)
+        bsz = latents.shape[0]
+
+        input_ids = batch["input_ids"]
+        uncond_batch = jnp.broadcast_to(uncond_ids[None], input_ids.shape)
+        drop = jax.random.uniform(k_drop, (bsz, 1)) < cfg_dropout_prob
+        input_ids = jnp.where(drop, uncond_batch, input_ids)
+        context = jax.lax.stop_gradient(clip_module.apply(clip_params, input_ids))
+
+        noise = jax.random.normal(k_noise, latents.shape, latents.dtype)
+        timesteps = jax.random.randint(k_t, (bsz,), 0, schedule.noise_steps)
+        x_t = sched_lib.add_noise(schedule, latents, noise, timesteps)
+
+        up = unet_params["params"] if "params" in unet_params else unet_params
+        cp = cn_params["params"] if "params" in cn_params else cn_params
+        eps = controlled_module.apply(
+            {"params": {"unet": up, "controlnet": cp}},
+            x_t,
+            timesteps,
+            context,
+            batch["hint"].astype(x_t.dtype),
+        )
+        return jnp.mean((eps.astype(jnp.float32) - noise.astype(jnp.float32)) ** 2)
+
+    def train_step(state: TrainState, unet_params, clip_params, vae_params,
+                   batch, uncond_ids, key):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            state.params, unet_params, clip_params, vae_params, batch,
+            uncond_ids, key,
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
+        return (
+            TrainState(
+                step=state.step + 1,
+                params=new_params,
+                opt_state=new_opt_state,
+                ema_params=_ema_update(
+                    state.ema_params,
+                    new_params,
+                    _ema_decay_at(state.step, ema_decay, gradient_accumulation_steps),
+                ),
+            ),
+            metrics,
+        )
+
+    def eval_step(cn_params, unet_params, clip_params, vae_params, batch,
+                  uncond_ids, key):
+        return loss_fn(
+            cn_params, unet_params, clip_params, vae_params, batch, uncond_ids, key
+        )
+
+    return train_step, eval_step
+
+
 def make_vae_train_step(
     vae_module,
     tx: optax.GradientTransformation,

@@ -654,6 +654,112 @@ class TextualInversionTrainer(Trainer):
         self.tracker.log_images({"sampled image": outs[0]}, step=global_step)
 
 
+class ControlNetTrainer(Trainer):
+    """ControlNet training (Zhang et al. 2023): frozen UNet/VAE/CLIP, trainable
+    control branch initialized as a copy of the UNet encoder. No reference
+    counterpart (ecosystem analog: diffusers train_controlnet.py)."""
+
+    run_name = "train_controlnet"
+    eval_cadence_offset = 0
+
+    def __init__(self, model, controlnet_module, cfg, train_dataset,
+                 eval_dataset, logger=None, train_collate=None):
+        self.model = model
+        self.controlnet = controlnet_module
+        super().__init__(
+            cfg, train_dataset, eval_dataset, logger, train_collate=train_collate
+        )
+
+    def _build(self) -> None:
+        from stable_diffusion_pytorch_tpu.models.controlnet import (
+            ControlledUNetModel,
+            init_controlnet_from_unet,
+        )
+        from stable_diffusion_pytorch_tpu.trainers.steps import (
+            make_controlnet_train_step,
+        )
+
+        cfg = self.cfg
+        model = self.model
+        res = cfg.dataset.resolution
+        lat = model.latent_shape(1, res)
+
+        cn_params = self.controlnet.init(
+            jax.random.PRNGKey(cfg.train.seed),
+            jnp.zeros(lat, jnp.float32),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, model.text_encoder.max_seq_len, 768), jnp.float32),
+            jnp.zeros((1, res, res, self.controlnet.hint_channels), jnp.float32),
+        )
+        # the paper's warm start: the control branch begins as the (possibly
+        # pretrained) UNet encoder
+        cn_params = init_controlnet_from_unet(model.unet_params, cn_params)
+
+        controlled = ControlledUNetModel(unet=model.unet, controlnet=self.controlnet)
+        train_step, eval_step = make_controlnet_train_step(
+            controlled,
+            model.text_encoder.module,
+            model.autoencoder,
+            model.noise_scheduler,
+            self.tx,
+            cfg_dropout_prob=float(getattr(cfg.train, "cfg_dropout_prob", 0.5)),
+            ema_decay=cfg.train.ema_decay,
+            gradient_accumulation_steps=cfg.train.gradient_accumulation_steps,
+        )
+        self._jit_train = jax.jit(train_step, donate_argnums=(0,))
+        self._jit_eval = jax.jit(eval_step)
+
+        self.state = self._place_state(
+            TrainState.create(cn_params, self.tx, with_ema=cfg.train.ema_decay > 0)
+        )
+        self.unet_params = mesh_lib.put_replicated(self.mesh, model.unet_params)
+        self.clip_params = mesh_lib.put_replicated(self.mesh, model.text_encoder.params)
+        self.vae_params = mesh_lib.put_replicated(self.mesh, model.autoencoder_params)
+        uncond_tokens = jnp.asarray(model.text_encoder.tokenize([""]).input_ids[0])
+        self.uncond = mesh_lib.put_replicated(self.mesh, uncond_tokens)
+
+    def _train_step(self, batch, key):
+        self.state, metrics = self._jit_train(
+            self.state, self.unet_params, self.clip_params, self.vae_params,
+            batch, self.uncond, key,
+        )
+        return metrics
+
+    def _eval_step(self, batch, key):
+        return self._jit_eval(
+            self.state.params, self.unet_params, self.clip_params,
+            self.vae_params, batch, self.uncond, key,
+        )
+
+    def log_images(self, global_step: int) -> None:
+        """Sample steered by the first eval row's hint."""
+        from stable_diffusion_pytorch_tpu.utils.data import detransform, to_img
+
+        model = self.model
+        model.attach_controlnet(self.controlnet, jax.device_get(self.state.params))
+        row = self.eval_dataset[0]
+        hint = jnp.asarray(row["hint"])[None]
+        ctx = model.encode_prompts([row.get("text", "")])
+        key = jax.random.PRNGKey(self.cfg.train.seed)
+        noise = jax.random.normal(
+            key, model.latent_shape(1, self.cfg.dataset.resolution),
+            model.unet.dtype,
+        )
+        x0 = model.sample(
+            noised_sample=noise,
+            context_emb=ctx.astype(model.unet.dtype),
+            guidance_scale=self.cfg.train.guidance_scale,
+            time_steps=50,
+            sampler="ddim",
+            key=key,
+            control_hint=hint,
+        )
+        img = np.asarray(model.decode_latent(x0).astype(jnp.float32))[0]
+        digit = detransform(img)
+        to_img(digit, output_path="output", name="controlnet_sample")
+        self.tracker.log_images({"sampled image": digit}, step=global_step)
+
+
 class AutoencoderTrainer(Trainer):
     """KL-VAE training (train_autoencoder.py:62-529) with the broken reference
     loss path fixed by default (batch-mean KL; see CompatConfig.kl_per_example0)."""

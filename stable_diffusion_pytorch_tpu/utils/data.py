@@ -197,9 +197,15 @@ def collate_fn(examples: Sequence[dict]) -> dict:
     input_ids = np.stack([e["input_ids"] for e in examples]).astype(np.int32)
     if "raw_image" in examples[0]:
         raw = np.stack([e["raw_image"] for e in examples])
-        return {"raw_images": raw, "input_ids": input_ids}
-    pixel_values = np.stack([e["pixel_values"] for e in examples]).astype(np.float32)
-    return {"pixel_values": pixel_values, "input_ids": input_ids}
+        out = {"raw_images": raw, "input_ids": input_ids}
+    else:
+        pixel_values = np.stack(
+            [e["pixel_values"] for e in examples]
+        ).astype(np.float32)
+        out = {"pixel_values": pixel_values, "input_ids": input_ids}
+    if "hint" in examples[0]:  # ControlNet conditioning rides along
+        out["hint"] = np.stack([e["hint"] for e in examples]).astype(np.float32)
+    return out
 
 
 # --------------------------------------------------------------------------- #
@@ -502,6 +508,48 @@ def dreambooth_collate(examples: Sequence[dict]) -> dict:
         ids[2 * i] = e["input_ids"]
         ids[2 * i + 1] = e["class_input_ids"]
     return {"pixel_values": pixels, "input_ids": ids}
+
+
+def edge_hint(pixel_values: np.ndarray, threshold: float = 0.15) -> np.ndarray:
+    """Default ControlNet conditioning: a Sobel-magnitude edge map of the
+    target image ([-1,1] HWC in, [-1,1] 3-channel edge image out). Offline
+    stand-in for Canny (no cv2 in the image); same information class —
+    binary-ish edges."""
+    gray = np.asarray(pixel_values, np.float32).mean(axis=-1)
+    gy = np.zeros_like(gray)
+    gx = np.zeros_like(gray)
+    gy[1:-1, :] = gray[2:, :] - gray[:-2, :]
+    gx[:, 1:-1] = gray[:, 2:] - gray[:, :-2]
+    mag = np.sqrt(gx * gx + gy * gy)
+    edges = (mag > threshold).astype(np.float32)
+    return np.repeat((edges * 2.0 - 1.0)[..., None], 3, axis=-1)
+
+
+class ControlNetDataset:
+    """Wrap an image-text dataset with a conditioning hint per row:
+    ``hint_fn(pixel_values) -> [H, W, C]`` in [-1,1] (default: edge map).
+    The train step consumes the extra ``hint`` batch key
+    (trainers/steps.py:make_controlnet_train_step)."""
+
+    def __init__(self, base, hint_fn=None):
+        self.base = base
+        self.hint_fn = hint_fn or edge_hint
+        self.synthetic_fallback = bool(getattr(base, "synthetic_fallback", False))
+
+    def set_epoch(self, epoch: int) -> None:
+        if hasattr(self.base, "set_epoch"):
+            self.base.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self.base)
+
+    def __getitem__(self, idx: int) -> dict:
+        row = dict(self.base[int(idx)])
+        assert "pixel_values" in row, (
+            "ControlNetDataset needs pixel rows (device_preprocess unsupported)"
+        )
+        row["hint"] = self.hint_fn(row["pixel_values"])
+        return row
 
 
 def _split_window(cfg: DatasetConfig, split: str, total: int, logger=None):
