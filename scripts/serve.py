@@ -19,6 +19,11 @@ API:
     GET  /progress/<request_id>      -> {"state": queued|running|done|error,
                                          "pct": 0..1, "queue_position": N}
     GET  /result/<request_id>        -> image/png when done (202 JSON before)
+    POST /reload {"unet_checkpoint": path[, "lora_checkpoint", "lora_scale"]}
+         -> {"status": "reloaded", ...}  — checkpoint HOT-SWAP: the new UNet
+         weights take effect between batches with zero downtime (params are
+         sampler ARGUMENTS, so no recompilation; the swap runs on the batcher
+         thread, which owns the device, making it atomic wrt in-flight work)
 
 Progress is estimated host-side from an EMA of previous runs of the same
 request signature: the sampling loop is ONE XLA program on the device, so
@@ -100,6 +105,18 @@ class _Pending:
         self.sig = None
 
 
+class _ReloadJob:
+    """Checkpoint hot-swap request; executed by the batcher thread (the sole
+    owner of the model/device) so it interleaves atomically between batches."""
+
+    __slots__ = ("req", "event", "error")
+
+    def __init__(self, req: dict):
+        self.req = req
+        self.event = threading.Event()
+        self.error = None
+
+
 def _signature(req: dict, cfg) -> tuple:
     return (
         int(req.get("image_size", cfg.serve.default_image_size)),
@@ -135,6 +152,8 @@ class SDService:
         self.queue: "queue.Queue[_Pending]" = queue.Queue()
         self.requests_served = 0
         self.batches_run = 0
+        self.reloads = 0
+        self.current_checkpoint = None  # init weights until /reload
         self._shutdown = False
         # async-API request tracking + per-signature duration EMA for progress
         self.jobs: dict = {}
@@ -157,6 +176,9 @@ class SDService:
                 continue
             if first is None:  # shutdown sentinel
                 break
+            if isinstance(first, _ReloadJob):
+                self._do_reload(first)
+                continue
             sig = _signature(first.req, self.cfg)
             group = [first]
             deferred = []
@@ -170,7 +192,9 @@ class SDService:
                 if nxt is None:
                     self._shutdown = True
                     break
-                if _signature(nxt.req, self.cfg) == sig:
+                if isinstance(nxt, _ReloadJob):
+                    deferred.append(nxt)  # swap after the current batch
+                elif _signature(nxt.req, self.cfg) == sig:
                     group.append(nxt)
                 else:
                     deferred.append(nxt)
@@ -233,6 +257,56 @@ class SDService:
                 pending.state = "error"
                 pending.done_time = time.time()
                 pending.event.set()
+
+    def _do_reload(self, job: "_ReloadJob") -> None:
+        """Swap UNet weights in place. Params are sampler ARGUMENTS (not baked
+        into the compiled programs), so the jit cache stays warm — the swap
+        costs one host->device transfer, with zero recompilation."""
+        try:
+            from stable_diffusion_pytorch_tpu.utils.checkpoint import (
+                find_latest_checkpoint,
+                load_params_for_inference,
+            )
+
+            path = job.req["unet_checkpoint"]
+            if os.path.isdir(path) and not os.path.basename(path).startswith(
+                ("checkpoint", "epoch")
+            ):
+                path = find_latest_checkpoint(path) or path
+            params = load_params_for_inference(path)
+            lora = job.req.get("lora_checkpoint")
+            if lora:
+                from stable_diffusion_pytorch_tpu.models.lora import merge_lora
+
+                lpath = lora
+                if os.path.isdir(lpath) and not os.path.basename(lpath).startswith(
+                    ("checkpoint", "epoch")
+                ):
+                    lpath = find_latest_checkpoint(lpath) or lpath
+                params = merge_lora(
+                    params,
+                    load_params_for_inference(lpath),
+                    float(job.req.get("lora_scale", 1.0)),
+                )
+            self.model.unet_params = params
+            self.current_checkpoint = path
+            self.reloads += 1
+            logger.info(f"hot-swapped UNet weights from {path}")
+        except Exception as e:  # noqa: BLE001 — report to the caller, keep serving
+            logger.exception("reload failed")
+            job.error = e
+        finally:
+            job.event.set()
+
+    def reload(self, req: dict, timeout: float = 600.0) -> str:
+        assert "unet_checkpoint" in req, "reload needs 'unet_checkpoint'"
+        job = _ReloadJob(req)
+        self.queue.put(job)
+        if not job.event.wait(timeout):
+            raise TimeoutError("reload timed out")
+        if job.error is not None:
+            raise job.error
+        return self.current_checkpoint
 
     # ------------------------------------------------------------------ #
     # request surface
@@ -333,6 +407,8 @@ def make_handler(service: SDService):
                         "jobs_tracked": len(service.jobs),
                         "max_batch": service.cfg.serve.max_batch,
                         "samplers": list(SAMPLERS),
+                        "checkpoint": service.current_checkpoint,
+                        "reloads": service.reloads,
                     }
                 ).encode()
                 self._send(200, payload, "application/json")
@@ -372,12 +448,23 @@ def make_handler(service: SDService):
         def do_POST(self):
             from stable_diffusion_pytorch_tpu.models.latent_diffusion import SAMPLERS
 
-            if self.path not in ("/txt2img", "/txt2img_async"):
+            if self.path not in ("/txt2img", "/txt2img_async", "/reload"):
                 self._send(404, b'{"error": "not found"}', "application/json")
                 return
             try:
                 length = int(self.headers.get("Content-Length", "0"))
                 req = json.loads(self.rfile.read(length) or b"{}")
+                if self.path == "/reload":
+                    path = service.reload(req)
+                    self._send(
+                        200,
+                        json.dumps(
+                            {"status": "reloaded", "checkpoint": path,
+                             "reloads": service.reloads}
+                        ).encode(),
+                        "application/json",
+                    )
+                    return
                 if req.get("sampler", "ddim") not in SAMPLERS:
                     raise ValueError(f"unknown sampler {req.get('sampler')!r}")
                 if self.path == "/txt2img_async":

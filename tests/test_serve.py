@@ -24,6 +24,7 @@ def server_url():
     import serve as serve_mod
 
     service, cfg = serve_mod.build_service(TINY_ARGS)
+    serve_mod._TEST_SERVICE = service  # exposed for white-box tests (hot-swap)
     httpd = ThreadingHTTPServer(("127.0.0.1", 0), serve_mod.make_handler(service))
     port = httpd.server_address[1]
     thread = threading.Thread(target=httpd.serve_forever, daemon=True)
@@ -171,3 +172,56 @@ def _get(url):
             return resp.status, resp.headers.get("Content-Type"), resp.read()
     except urllib.error.HTTPError as e:
         return e.code, e.headers.get("Content-Type"), e.read()
+
+
+def test_reload_hot_swaps_weights(server_url, tmp_path):
+    """POST /reload swaps UNet weights between batches: the same request
+    (same seed) produces a DIFFERENT image afterwards, with no restart and no
+    recompilation; /healthz reports the active checkpoint."""
+    import jax
+    import jax.numpy as jnp
+
+    import serve as serve_mod
+    from stable_diffusion_pytorch_tpu.utils.checkpoint import save_checkpoint
+
+    service = serve_mod._TEST_SERVICE
+    req = {"prompt": "a blue square", "seed": 11}
+    _, _, before = _post(server_url + "/txt2img", req)
+
+    # checkpoint with perturbed weights
+    leaves, treedef = jax.tree_util.tree_flatten(service.model.unet_params)
+    keys = jax.random.split(jax.random.PRNGKey(5), len(leaves))
+    perturbed = jax.tree_util.tree_unflatten(
+        treedef,
+        [l + 0.05 * jax.random.normal(k, l.shape, l.dtype)
+         for l, k in zip(leaves, keys)],
+    )
+    ckpt = str(tmp_path / "swap" / "checkpoint-7")
+    save_checkpoint(ckpt, {"params": perturbed})
+
+    status, _, body = _post(
+        server_url + "/reload", {"unet_checkpoint": str(tmp_path / "swap")}
+    )
+    assert status == 200
+    info = json.loads(body)
+    assert info["status"] == "reloaded"
+    assert info["checkpoint"].endswith("checkpoint-7")
+
+    _, _, after = _post(server_url + "/txt2img", req)
+    assert after != before
+    # identical request is still deterministic under the new weights
+    _, _, after2 = _post(server_url + "/txt2img", req)
+    assert after2 == after
+
+    with urllib.request.urlopen(server_url + "/healthz", timeout=30) as resp:
+        health = json.loads(resp.read())
+    assert health["checkpoint"].endswith("checkpoint-7")
+    assert health["reloads"] == 1
+
+    # bad path -> error surfaced, serving continues
+    status, _, body = _post(
+        server_url + "/reload", {"unet_checkpoint": str(tmp_path / "missing")}
+    )
+    assert status == 400
+    _, _, still = _post(server_url + "/txt2img", req)
+    assert still == after
