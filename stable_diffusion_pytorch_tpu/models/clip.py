@@ -478,6 +478,80 @@ class CLIPModel:
             np.asarray(weight_rows, dtype=np.float32),
         )
 
+    # ------------------------------------------------------------------ #
+    # long prompts: chunked encoding beyond the 77-token window
+    # ------------------------------------------------------------------ #
+
+    def _weighted_body(self, prompt: str):
+        """(body ids, per-token weights) for one prompt with emphasis syntax."""
+        from stable_diffusion_pytorch_tpu.models.prompt_weighting import (
+            parse_weighted_prompt,
+        )
+
+        body: List[int] = []
+        wts: List[float] = []
+        for text, w in parse_weighted_prompt(prompt):
+            ids = self._body_ids(text)
+            body.extend(ids)
+            wts.extend([w] * len(ids))
+        return body, wts
+
+    def tokenize_chunked(
+        self,
+        prompts: Sequence[str],
+        weighted: bool = False,
+        num_chunks: Optional[int] = None,
+    ):
+        """Tokenize prompts of ANY length into K windows of 77 (BOS + 75 body
+        tokens + EOS each — the A1111/lpw long-prompt scheme; no reference
+        counterpart). Returns (ids [B, K, 77], weights [B, K, 77] | None, K);
+        K = max chunks needed over the batch unless pinned by ``num_chunks``
+        (pass it to align a negative prompt with the positive one)."""
+        window = self.max_seq_len - 2  # body tokens per chunk
+        bodies = []
+        for p in prompts:
+            if weighted:
+                bodies.append(self._weighted_body(p))
+            else:
+                b = self._body_ids(p)
+                bodies.append((b, [1.0] * len(b)))
+        need = max(1, max((len(b) + window - 1) // window for b, _ in bodies))
+        k = num_chunks or need
+        rows, wrows = [], []
+        for body, wts in bodies:
+            body, wts = body[: k * window], wts[: k * window]
+            chunk_ids, chunk_w = [], []
+            for c in range(k):
+                piece = body[c * window : (c + 1) * window]
+                wpiece = wts[c * window : (c + 1) * window]
+                chunk_ids.append(self._finish_row(piece, self.max_seq_len))
+                wrow = [1.0] + wpiece + [1.0]
+                chunk_w.append(wrow + [1.0] * (self.max_seq_len - len(wrow)))
+            rows.append(chunk_ids)
+            wrows.append(chunk_w)
+        ids = np.asarray(rows, dtype=np.int32)
+        weights = np.asarray(wrows, dtype=np.float32) if weighted else None
+        return ids, weights, k
+
+    def encode_text_chunked(
+        self,
+        ids: np.ndarray,
+        token_weights: Optional[np.ndarray] = None,
+    ) -> jnp.ndarray:
+        """[B, K, 77] chunk ids -> [B, K*77, 768]: each chunk runs through the
+        tower independently (position embeddings restart per chunk, matching
+        the lpw scheme) and the sequences concatenate for cross-attention."""
+        b, k, s = ids.shape
+        emb = self.encode_text(
+            np.asarray(ids).reshape(b * k, s),
+            token_weights=(
+                np.asarray(token_weights).reshape(b * k, s)
+                if token_weights is not None
+                else None
+            ),
+        )
+        return emb.reshape(b, k * s, -1)
+
     def tokenize(
         self,
         prompt: Union[str, Sequence[str]] = "",

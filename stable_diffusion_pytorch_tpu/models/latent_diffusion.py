@@ -451,26 +451,45 @@ class LatentDiffusion:
     def encode_prompts(self, prompts, weighted: Optional[bool] = None) -> jnp.ndarray:
         """``weighted=None`` auto-detects ``(word:1.3)`` emphasis syntax
         (models/prompt_weighting.py); disabled in reference-compat mode, where
-        brackets stay literal like the reference tokenizer treats them."""
+        brackets stay literal like the reference tokenizer treats them.
+
+        Prompts longer than the 77-token window are encoded in K chunks and
+        concatenated ([B, K*77, 768] — the A1111/lpw long-prompt scheme; the
+        flash kernel masks the arbitrary kv length), also gated off in
+        reference-compat mode (the reference truncates)."""
         prompts = list(prompts)
+        compat_mode = self.compat is not None and self.compat.reference_compat
         if weighted is None:
             from stable_diffusion_pytorch_tpu.models.prompt_weighting import (
                 has_weight_syntax,
             )
 
-            weighted = not (
-                self.compat is not None and self.compat.reference_compat
-            ) and any(has_weight_syntax(p) for p in prompts)
+            weighted = not compat_mode and any(has_weight_syntax(p) for p in prompts)
+        te = self.text_encoder
+        if not compat_mode:
+            ids, w, k = te.tokenize_chunked(prompts, weighted=weighted)
+            if k > 1:
+                return te.encode_text_chunked(ids, w)
         if weighted:
-            out, w = self.text_encoder.tokenize_weighted(prompts)
-            return self.text_encoder.encode_text(out.input_ids, token_weights=w)
-        ids = self.text_encoder.tokenize(prompts).input_ids
-        return self.text_encoder.encode_text(ids)
+            out, w = te.tokenize_weighted(prompts)
+            return te.encode_text(out.input_ids, token_weights=w)
+        return te.encode_text(te.tokenize(prompts).input_ids)
 
     def encode_uncond(self, batch_size: int, text: str = "") -> jnp.ndarray:
         """Unconditional (or negative-prompt) embedding, broadcast to batch."""
         emb = self.encode_prompts([text])
         return jnp.broadcast_to(emb, (batch_size,) + emb.shape[1:])
+
+    @staticmethod
+    def align_uncond(uncond: jnp.ndarray, context_emb: jnp.ndarray) -> jnp.ndarray:
+        """Long-prompt chunking can make cond and uncond/negative sequence
+        lengths differ (K*77 vs K'*77); tile-and-truncate the uncond to match
+        so the CFG concat stays rectangular."""
+        if uncond.shape[1] == context_emb.shape[1]:
+            return uncond
+        s = context_emb.shape[1]
+        reps = -(-s // uncond.shape[1])  # ceil
+        return jnp.tile(uncond, (1, reps, 1))[:, :s, :]
 
     # ------------------------------------------------------------------ #
     # reference-parity methods
@@ -580,6 +599,7 @@ class LatentDiffusion:
             if guidance_scale > 1.0
             else jnp.zeros_like(context_emb)
         )
+        uncond = self.align_uncond(uncond, context_emb)
         if key is None:
             key = jax.random.PRNGKey(0)
         if use_control:

@@ -199,7 +199,9 @@ def img2img(
 
     ctx = model.encode_prompts([prompt]).astype(dtype)
     uncond = (
-        model.encode_uncond(1, negative_prompt).astype(dtype)
+        model.align_uncond(
+            model.encode_uncond(1, negative_prompt).astype(dtype), ctx
+        )
         if guidance_scale > 1.0
         else jnp.zeros_like(ctx)
     )
@@ -263,7 +265,9 @@ def inpaint(
     noise = jax.random.normal(k_init, init_latents.shape, dtype)
     ctx = model.encode_prompts([prompt]).astype(dtype)
     uncond = (
-        model.encode_uncond(1, negative_prompt).astype(dtype)
+        model.align_uncond(
+            model.encode_uncond(1, negative_prompt).astype(dtype), ctx
+        )
         if guidance_scale > 1.0
         else jnp.zeros_like(ctx)
     )
