@@ -47,6 +47,20 @@ class Img2ImgConfig(BaseConfig):
         metadata={"help": "sampling algorithm.", "choices": ["ddim", "ddpm", "dpmpp"]},
     )
     output_dir: str = field(default="output", metadata={"help": "output directory."})
+    controlnet_checkpoint: Optional[str] = field(
+        default=None,
+        metadata={
+            "help": "ControlNet checkpoint dir (train_controlnet.py); "
+            "requires --control-image."
+        },
+    )
+    control_image: Optional[str] = field(
+        default=None,
+        metadata={"help": "conditioning image steering through the ControlNet."},
+    )
+    control_scale: float = field(
+        default=1.0, metadata={"help": "ControlNet residual strength."}
+    )
 
 
 def main(argv=None):
@@ -74,6 +88,31 @@ def main(argv=None):
         seed=cfg.train.seed,
         init_image_size=icfg.image_size,
     )
+    if icfg.controlnet_checkpoint:
+        from stable_diffusion_pytorch_tpu.models.controlnet import ControlNet
+        from stable_diffusion_pytorch_tpu.utils.checkpoint import (
+            find_latest_checkpoint,
+            load_params_for_inference,
+        )
+
+        assert icfg.control_image, "--controlnet-checkpoint needs --control-image"
+        path = icfg.controlnet_checkpoint
+        if os.path.isdir(path) and not os.path.basename(path).startswith(
+            ("checkpoint", "epoch")
+        ):
+            path = find_latest_checkpoint(path) or path
+        controlnet = ControlNet.from_unet_config(
+            model.unet.latent_channels,
+            cfg.model.autoencoder.groups,
+            cfg.model.unet,
+            hint_downsamples=len(
+                cfg.model.autoencoder.autoencoder_channels_list
+            ) - 1,
+            dtype=model.unet.dtype,
+        )
+        model.attach_controlnet(controlnet, load_params_for_inference(path))
+        logger.info(f"loaded ControlNet from {path}")
+
     common = dict(
         prompt=icfg.prompt,
         image_size=icfg.image_size,
@@ -83,6 +122,8 @@ def main(argv=None):
         save_dir=icfg.output_dir,
         seed=cfg.train.seed,
         negative_prompt=icfg.negative_prompt,
+        control_image=icfg.control_image if icfg.controlnet_checkpoint else None,
+        control_scale=icfg.control_scale,
     )
     if icfg.mask_image:
         logger.info(f"inpainting {icfg.init_image} with mask {icfg.mask_image}")

@@ -152,6 +152,29 @@ def _load_image(image, resolution: int) -> np.ndarray:
     return image[None].astype(np.float32)
 
 
+def _control_module_and_params(model, control_image, control_scale, image_size, dtype):
+    """(module, params-for-the-sampler) pair: the plain UNet, or — when a
+    control image is given — the ControlNet shim with the hint packed
+    alongside the merged params (models/latent_diffusion.py:_ControlShim)."""
+    if control_image is None:
+        return model.unet, model.unet_params
+    from stable_diffusion_pytorch_tpu.models.latent_diffusion import (
+        _ControlShim,
+        _merge_control_params,
+    )
+
+    assert model.controlnet is not None, (
+        "pass control_image only after model.attach_controlnet(...)"
+    )
+    hint = jnp.asarray(_load_image(control_image, image_size), dtype)
+    shim = _ControlShim(model.unet, model.controlnet, float(control_scale))
+    packed = (
+        _merge_control_params(model.unet_params, model.controlnet_params),
+        hint,
+    )
+    return shim, packed
+
+
 def img2img(
     model: LatentDiffusion,
     init_image,
@@ -166,10 +189,13 @@ def img2img(
     seed: int = 42,
     name: str = "img2img",
     negative_prompt: str = "",
+    control_image=None,
+    control_scale: float = 1.0,
 ) -> np.ndarray:
     """Image-to-image: noise the init image's latent to ``strength`` of the
     schedule, then denoise the remaining steps (capability beyond the
-    reference). Returns the HWC uint8 result."""
+    reference). Returns the HWC uint8 result. ``control_image`` steers through
+    the attached ControlNet (``model.attach_controlnet``)."""
     import jax
 
     from stable_diffusion_pytorch_tpu.models.latent_diffusion import make_sample_fn
@@ -182,8 +208,11 @@ def img2img(
     posterior = model.encode_image(img)
     init_latents = posterior.latent_dist.sample(k_enc)
 
+    module, params = _control_module_and_params(
+        model, control_image, control_scale, image_size, dtype
+    )
     fn = make_sample_fn(
-        model.unet,
+        module,
         model.noise_scheduler,
         time_steps,
         sampler=sampler,
@@ -205,7 +234,7 @@ def img2img(
         if guidance_scale > 1.0
         else jnp.zeros_like(ctx)
     )
-    x_0 = jax.jit(fn)(model.unet_params, x_t, ctx, uncond, k_loop)
+    x_0 = jax.jit(fn)(params, x_t, ctx, uncond, k_loop)
     out = np.asarray(model.decode_latent(x_0).astype(jnp.float32))
     digit = detransform(out[0])
     if save_dir is not None:
@@ -226,9 +255,12 @@ def inpaint(
     seed: int = 42,
     name: str = "inpaint",
     negative_prompt: str = "",
+    control_image=None,
+    control_scale: float = 1.0,
 ) -> np.ndarray:
     """Latent inpainting: generate inside the mask (white = repaint), re-noise
-    and keep the rest each step (capability beyond the reference)."""
+    and keep the rest each step (capability beyond the reference).
+    ``control_image`` steers through the attached ControlNet."""
     import jax
 
     from stable_diffusion_pytorch_tpu.models.latent_diffusion import make_sample_fn
@@ -254,8 +286,11 @@ def inpaint(
     mask = jax.image.resize(jnp.asarray(mask), (h, w), method="nearest")
     mask = (mask > 0.5).astype(dtype)[None, :, :, None]
 
+    module, params = _control_module_and_params(
+        model, control_image, control_scale, image_size, dtype
+    )
     fn = make_sample_fn(
-        model.unet,
+        module,
         model.noise_scheduler,
         time_steps,
         sampler=sampler,
@@ -272,7 +307,7 @@ def inpaint(
         else jnp.zeros_like(ctx)
     )
     x_0 = jax.jit(fn)(
-        model.unet_params, noise, ctx, uncond, k_loop, mask, init_latents
+        params, noise, ctx, uncond, k_loop, mask, init_latents
     )
     out = np.asarray(model.decode_latent(x_0).astype(jnp.float32))
     digit = detransform(out[0])

@@ -174,6 +174,52 @@ def test_sample_with_control_hint_cfg_path(tiny):
     assert not np.allclose(out_a, out_plain)
 
 
+def test_img2img_and_inpaint_with_control(tmp_path):
+    """The img2img and inpaint pipelines accept control_image once a
+    ControlNet is attached; the hint changes both results."""
+    from stable_diffusion_pytorch_tpu.config import load_config
+    from stable_diffusion_pytorch_tpu.models.build import build_models
+    from stable_diffusion_pytorch_tpu.pipeline import img2img, inpaint
+
+    _, cfg = load_config([
+        "--channels-list", "16,32", "--n-heads", "4", "--time-emb-dim", "32",
+        "--n-layers", "1", "--autoencoder-channels-list", "8,16", "--groups", "4",
+        "--noise-steps", "20",
+    ])
+    model = build_models(cfg.model, init_image_size=16)
+    cn = ControlNet.from_unet_config(4, 4, cfg.model.unet, hint_downsamples=1)
+    key = jax.random.PRNGKey(0)
+    cn_params = cn.init(
+        key,
+        jnp.zeros(model.latent_shape(1, 16)),
+        jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1, 77, 768)),
+        jnp.zeros((1, 16, 16, 3)),
+    )
+    model.attach_controlnet(cn, {"params": _perturb(cn_params["params"], 0.02)})
+
+    rng = np.random.default_rng(0)
+    init = (rng.random((16, 16, 3)) * 255).astype(np.uint8)
+    hint_a = np.ones((16, 16, 3), np.float32) * 0.5
+    kwargs = dict(
+        prompt="x", image_size=16, time_steps=3, guidance_scale=7.5,
+        save_dir=None, seed=1,
+    )
+    out_a = img2img(model, init, control_image=hint_a, **kwargs)
+    out_b = img2img(model, init, control_image=-hint_a, **kwargs)
+    out_p = img2img(model, init, **kwargs)
+    assert out_a.shape == (16, 16, 3)
+    assert not np.array_equal(out_a, out_b)
+    assert not np.array_equal(out_a, out_p)
+
+    mask = np.zeros((16, 16), np.float32)
+    mask[4:12, 4:12] = 1.0
+    ip_a = inpaint(model, init, mask, control_image=hint_a, **kwargs)
+    ip_b = inpaint(model, init, mask, control_image=-hint_a, **kwargs)
+    assert ip_a.shape == (16, 16, 3)
+    assert not np.array_equal(ip_a, ip_b)
+
+
 def test_train_controlnet_e2e_and_txt2img_roundtrip(tmp_path, monkeypatch):
     monkeypatch.chdir(tmp_path)
     import train_controlnet
