@@ -12,7 +12,9 @@ target.
 Prints exactly ONE JSON line on stdout; progress goes to stderr.
 
 Env knobs: BENCH_BATCH (4), BENCH_STEPS (50), BENCH_RES (512), BENCH_REPEATS (3),
-BENCH_PRESET (sd15|reference), BENCH_SKIP_DECODE (0).
+BENCH_PRESET (sd15|reference), BENCH_SKIP_DECODE (0), BENCH_DEEP_CACHE (0; N>1
+enables DeepCache trunk reuse every N steps — opt-in approximate mode, NOT the
+headline configuration).
 """
 
 import json
@@ -88,8 +90,12 @@ def main() -> None:
             lambda s: jnp.zeros(s.shape, s.dtype), vae_shapes
         )
 
+    deep_cache = int(os.environ.get("BENCH_DEEP_CACHE", "0"))
+    if deep_cache > 1:
+        log(f"DeepCache ON: trunk refresh every {deep_cache} steps (opt-in mode)")
     sample_fn = make_sample_fn(
-        unet, schedule, steps, sampler="ddim", guidance_scale=7.5
+        unet, schedule, steps, sampler="ddim", guidance_scale=7.5,
+        deep_cache_interval=deep_cache,
     )
 
     # each pipeline also returns a f32 scalar checksum: pulling it to host

@@ -156,6 +156,7 @@ def main(argv=None):
         if cfg.sampling.controlnet_checkpoint
         else None,
         control_scale=cfg.sampling.control_scale,
+        deep_cache_interval=cfg.sampling.deep_cache_interval,
     )
     logger.info(f"saved to {cfg.sampling.output_dir}/")
 

@@ -153,8 +153,15 @@ def make_sample_fn(
     prediction_type: str = "epsilon",
     timestep_spacing: str = "even",
     guidance_rescale: float = 0.0,
+    deep_cache_interval: int = 0,
 ):
     """Build the jittable reverse-diffusion loop as a single ``lax.scan``.
+
+    ``deep_cache_interval=N > 1`` enables DeepCache (Ma et al. 2023): the
+    UNet's deep trunk is recomputed every N steps and reused in between (only
+    the level-0 shallow blocks run on cached steps) — an OPT-IN speed/quality
+    trade. Discrete samplers only; requires a plain UNetModel (no ControlNet
+    shim).
 
     Returns ``f(unet_params, x_T, context_emb, uncond_emb, key) -> x_0``
     (with ``inpaint=True``: ``f(..., key, mask, init_latents)`` where mask is
@@ -199,6 +206,19 @@ def make_sample_fn(
             "SNR 0, where eps-prediction is undefined; train and sample with "
             "--prediction-type v_prediction"
         )
+    if deep_cache_interval > 1:
+        if sampler in SIGMA_SPACE_SAMPLERS:
+            raise ValueError(
+                "deep_cache_interval supports the discrete samplers "
+                "(ddim/ddpm/dpmpp) only"
+            )
+        if not hasattr(unet_module, "channels_list"):
+            raise ValueError(
+                "deep_cache_interval needs a plain UNetModel (incompatible "
+                "with the ControlNet shim)"
+            )
+        if len(unet_module.channels_list) < 2:
+            raise ValueError("deep_cache_interval needs a >=2-level UNet")
     if sampler in SIGMA_SPACE_SAMPLERS:
         return _make_sigma_sample_fn(
             unet_module,
@@ -241,16 +261,60 @@ def make_sample_fn(
         unet_module, guidance_scale, reference_cfg_formula, guidance_rescale
     )
 
+    use_dc = deep_cache_interval > 1
+    do_cfg = guidance_scale > 1.0
+
+    def pred_noise_dc(unet_params, x_t, t, ctx, uncond, deep, refresh):
+        """DeepCache-aware eps prediction: (eps, trunk). On refresh steps the
+        full UNet runs and re-emits the deep trunk; otherwise only the shallow
+        level-0 blocks run against the carried trunk. The CFG-doubled batch is
+        cached as a whole."""
+        if do_cfg:
+            x_in = jnp.concatenate([x_t, x_t], axis=0)
+            t_in = jnp.concatenate([t, t], axis=0)
+            c_in = jnp.concatenate([uncond, ctx], axis=0)
+        else:
+            x_in, t_in, c_in = x_t, t, ctx
+        out, new_deep = jax.lax.cond(
+            refresh,
+            lambda d: unet_module.apply(
+                unet_params, x_in, t_in, c_in, return_deep=True
+            ),
+            lambda d: (
+                unet_module.apply(unet_params, x_in, t_in, c_in, deep_cache=d),
+                d,
+            ),
+            deep,
+        )
+        if do_cfg:
+            eps_u, eps_c = jnp.split(out, 2, axis=0)
+            eps = cfg_combine(eps_u, eps_c, guidance_scale, reference_cfg_formula)
+            if guidance_rescale > 0.0:
+                eps = rescale_cfg(eps, eps_c, guidance_rescale)
+        else:
+            eps = out
+        return eps, new_deep
+
     def sample(unet_params, x_T, context_emb, uncond_emb, key,
                mask=None, init_latents=None):
         bsz = x_T.shape[0]
 
         def body(carry, step):
-            x, x0_prev, k = carry
-            t, t_prev, t_last = step
+            if use_dc:
+                x, x0_prev, k, deep = carry
+                t, t_prev, t_last, idx = step
+            else:
+                x, x0_prev, k = carry
+                t, t_prev, t_last = step
             k, sub, k_blend = jax.random.split(k, 3)
             t_batch = jnp.full((bsz,), t, jnp.int32)
-            eps = pred_noise(unet_params, x, t_batch, context_emb, uncond_emb)
+            if use_dc:
+                eps, deep = pred_noise_dc(
+                    unet_params, x, t_batch, context_emb, uncond_emb, deep,
+                    (idx % deep_cache_interval) == 0,
+                )
+            else:
+                eps = pred_noise(unet_params, x, t_batch, context_emb, uncond_emb)
             x0_v = None
             if prediction_type == "v_prediction":
                 alpha, sigma_vp = sched_lib.alpha_sigma_at(schedule, t)
@@ -287,7 +351,20 @@ def make_sample_fn(
                 known = sched_lib.add_noise(schedule, init_latents, noise, t_prev_b)
                 known = jnp.where(t_prev >= 0, known, init_latents)
                 x_next = mask * x_next + (1.0 - mask) * known
+            if use_dc:
+                return (x_next, x0, k, deep), None
             return (x_next, x0, k), None
+
+        if use_dc:
+            ch1 = unet_module.channels_list[1]
+            b_in = bsz * (2 if do_cfg else 1)
+            deep0 = jnp.zeros(
+                (b_in,) + tuple(x_T.shape[1:3]) + (ch1,), unet_module.dtype
+            )
+            init = (x_T, jnp.zeros_like(x_T), key, deep0)
+            xs = (ts, ts_prev, ts_last, jnp.arange(len(ts)))
+            (x_0, _, _, _), _ = jax.lax.scan(body, init, xs)
+            return x_0
 
         init = (x_T, jnp.zeros_like(x_T), key)
         (x_0, _, _), _ = jax.lax.scan(body, init, (ts, ts_prev, ts_last))
@@ -533,6 +610,7 @@ class LatentDiffusion:
         guidance_rescale: float = 0.0,
         control_hint: Optional[jnp.ndarray] = None,
         control_scale: float = 1.0,
+        deep_cache_interval: int = 0,
     ) -> jnp.ndarray:
         """Reverse loop x_T -> x_0 (latent_diffusion.py:67-126), jit-compiled.
 
@@ -567,6 +645,7 @@ class LatentDiffusion:
             noised_sample.shape,
             context_emb.shape,
             (jnp.shape(control_hint), float(control_scale)) if use_control else None,
+            int(deep_cache_interval),
         )
         if cache_key not in self._jit_cache:
             fn = make_sample_fn(
@@ -590,6 +669,7 @@ class LatentDiffusion:
                 leading_timesteps=bool(
                     compat and compat.ascending_sample_loop and time_steps
                 ),
+                deep_cache_interval=deep_cache_interval,
             )
             self._jit_cache[cache_key] = jax.jit(fn)
         sample_fn = self._jit_cache[cache_key]

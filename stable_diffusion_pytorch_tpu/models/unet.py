@@ -245,13 +245,24 @@ class UNetModel(nn.Module):
         context_emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
         control: Optional[Tuple[Tuple[jnp.ndarray, ...], jnp.ndarray]] = None,
+        deep_cache: Optional[jnp.ndarray] = None,
+        return_deep: bool = False,
     ) -> jnp.ndarray:
         """x: [B, h, w, latent_channels]; timesteps: [B]; context: [B, S, ctx_dim].
 
         ``control`` = (skip_residuals, mid_residual) from a ControlNet
         (models/controlnet.py): one residual per skip feature (added as the
         decoder consumes them) plus one added to the bottleneck output
-        (Zhang et al. 2023 §3.3)."""
+        (Zhang et al. 2023 §3.3).
+
+        DeepCache (Ma et al. 2023 / "Cache Me if You Can"-style block caching):
+        the DEEP trunk (everything below the first DownSample: inner input
+        blocks, bottleneck, inner output blocks up to the final upsample) is a
+        function of slow-varying high-level features and can be reused across
+        adjacent sampler steps. ``return_deep=True`` additionally returns that
+        trunk output [B, h, w, channels_list[1]]; passing it back as
+        ``deep_cache`` SKIPS the whole trunk and runs only the level-0 shallow
+        blocks. Mutually exclusive with ``control``."""
         if context_emb is not None:
             assert context_emb.shape[-1] == self.context_dim
         ch0 = self.channels_list[0]
@@ -277,12 +288,15 @@ class UNetModel(nn.Module):
 
         res_cls, attn_cls = self._block_classes()
 
-        # 2. conv_in (unet.py:190; utils.py:31-32)
-        x = conv3x3(ch0, dtype=self.dtype, name="conv_in")(x)
-        skips = [x]
+        # DeepCache split point: level-0 blocks are "shallow"; everything from
+        # the first DownSample through the last upsample is the cacheable trunk
+        n0 = self.num_res_blocks
+        n_shallow_out = self.num_res_blocks + 1
+        if deep_cache is not None:
+            assert control is None, "deep_cache and control are mutually exclusive"
+            assert len(self.channels_list) >= 2, "deep_cache needs >= 2 levels"
 
-        # 3. input blocks
-        for i, block in enumerate(in_plan):
+        def run_in_block(x, i, block):
             if block[0] == "res":
                 _, _, oc, attn = block
                 x = res_cls(
@@ -298,56 +312,11 @@ class UNetModel(nn.Module):
                     )
             else:  # down
                 x = DownSample(dtype=self.dtype, name=f"in_{i}_down")(x)
-            skips.append(x)
+            return x
 
-        # 4. bottleneck: Res + SpatialTransformer + Res (utils.py:100-131)
-        mid_groups1 = 2 if self.bottleneck_default_groups else self.groups
-        # reference quirk kept as architecture: the bottleneck reuses the d_head
-        # computed at the LAST input-block attention (unet.py:194-226 passes the
-        # d_head returned by build_input_blocks), so with the default config the
-        # bottleneck attention runs at d_model 160 inside 320 channels. Falls
-        # back to mid_ch//n_heads when no input-block attention exists.
-        d_head = (
-            d_head_src // self.n_heads if d_head_src else mid_ch // self.n_heads
-        )
-        x = res_cls(
-            time_emb_dim=t_dim,
-            dropout=self.dropout,
-            groups=mid_groups1,
-            dtype=self.dtype,
-            name="mid_res1",
-        )(x, t_emb, deterministic)
-        x = attn_cls(
-            in_channels=mid_ch,
-            n_heads=self.n_heads,
-            d_head=d_head,
-            n_layers=self.n_layers,
-            dropout=self.dropout,
-            context_dim=self.context_dim,
-            groups=self.groups,
-            dtype=self.dtype,
-            name="mid_attn",
-        )(x, context_emb, deterministic)
-        x = res_cls(
-            time_emb_dim=t_dim,
-            dropout=self.dropout,
-            groups=self.groups,
-            dtype=self.dtype,
-            name="mid_res2",
-        )(x, t_emb, deterministic)
-
-        if control is not None:
-            c_skips, c_mid = control
-            assert len(c_skips) == len(skips), (
-                f"ControlNet produced {len(c_skips)} skip residuals, UNet has "
-                f"{len(skips)} skips"
-            )
-            x = x + c_mid.astype(x.dtype)
-            skips = [s + c.astype(s.dtype) for s, c in zip(skips, c_skips)]
-
-        # 5. output blocks with skip concat (unet.py:306-309)
-        for i, (_, _, oc, attn, upsample) in enumerate(out_plan):
-            x = jnp.concatenate([x, skips.pop()], axis=-1)
+        def run_out_block(x, i, entry, skip):
+            _, _, oc, attn, upsample = entry
+            x = jnp.concatenate([x, skip], axis=-1)
             x = res_cls(
                 out_channels=oc,
                 time_emb_dim=t_dim,
@@ -362,7 +331,87 @@ class UNetModel(nn.Module):
                 )
             if upsample:
                 x = UpSample(dtype=self.dtype, name=f"out_{i}_up")(x)
+            return x
+
+        # 2. conv_in (unet.py:190; utils.py:31-32)
+        x = conv3x3(ch0, dtype=self.dtype, name="conv_in")(x)
+        skips = [x]
+
+        # 3a. shallow input blocks (level 0)
+        for i, block in enumerate(in_plan[:n0]):
+            x = run_in_block(x, i, block)
+            skips.append(x)
+
+        if deep_cache is None:
+            # 3b. deep input blocks
+            for i, block in enumerate(in_plan[n0:], start=n0):
+                x = run_in_block(x, i, block)
+                skips.append(x)
+
+            # 4. bottleneck: Res + SpatialTransformer + Res (utils.py:100-131)
+            mid_groups1 = 2 if self.bottleneck_default_groups else self.groups
+            # reference quirk kept as architecture: the bottleneck reuses the
+            # d_head computed at the LAST input-block attention (unet.py:194-226
+            # passes the d_head returned by build_input_blocks), so with the
+            # default config the bottleneck attention runs at d_model 160 inside
+            # 320 channels. Falls back to mid_ch//n_heads when no input-block
+            # attention exists.
+            d_head = (
+                d_head_src // self.n_heads if d_head_src else mid_ch // self.n_heads
+            )
+            x = res_cls(
+                time_emb_dim=t_dim,
+                dropout=self.dropout,
+                groups=mid_groups1,
+                dtype=self.dtype,
+                name="mid_res1",
+            )(x, t_emb, deterministic)
+            x = attn_cls(
+                in_channels=mid_ch,
+                n_heads=self.n_heads,
+                d_head=d_head,
+                n_layers=self.n_layers,
+                dropout=self.dropout,
+                context_dim=self.context_dim,
+                groups=self.groups,
+                dtype=self.dtype,
+                name="mid_attn",
+            )(x, context_emb, deterministic)
+            x = res_cls(
+                time_emb_dim=t_dim,
+                dropout=self.dropout,
+                groups=self.groups,
+                dtype=self.dtype,
+                name="mid_res2",
+            )(x, t_emb, deterministic)
+
+            if control is not None:
+                c_skips, c_mid = control
+                assert len(c_skips) == len(skips), (
+                    f"ControlNet produced {len(c_skips)} skip residuals, UNet "
+                    f"has {len(skips)} skips"
+                )
+                x = x + c_mid.astype(x.dtype)
+                skips = [s + c.astype(s.dtype) for s, c in zip(skips, c_skips)]
+
+            # 5a. deep output blocks
+            for i, entry in enumerate(out_plan[: len(out_plan) - n_shallow_out]):
+                x = run_out_block(x, i, entry, skips.pop())
+            deep = x
+        else:
+            deep = deep_cache.astype(self.dtype)
+            x = deep
+
+        # 5b. shallow output blocks (level 0) consume the remaining level-0 skips
+        for i, entry in enumerate(
+            out_plan[len(out_plan) - n_shallow_out:],
+            start=len(out_plan) - n_shallow_out,
+        ):
+            x = run_out_block(x, i, entry, skips.pop())
 
         # 6. out head (utils.py:193-200)
         x = GroupNormSiLU(self.groups, dtype=self.dtype, name="out_norm")(x)
-        return conv3x3(self.latent_channels, dtype=self.dtype, name="conv_out")(x)
+        out = conv3x3(self.latent_channels, dtype=self.dtype, name="conv_out")(x)
+        if return_deep:
+            return out, deep
+        return out

@@ -112,8 +112,20 @@ def _fused_fwd(x, scale, bias, num_groups, eps, apply_silu):
 
 
 def _fused_bwd(num_groups, eps, apply_silu, res, g):
-    # exact gradients by differentiating the XLA reference implementation
     x, scale, bias = res
+    from stable_diffusion_pytorch_tpu.ops.fused_groupnorm import (
+        _VMEM_BYTES_LIMIT,
+        pallas_group_norm_bwd,
+    )
+
+    c = x.shape[-1]
+    s = int(np.prod(x.shape[1:-1]))
+    if s * c * x.dtype.itemsize <= _VMEM_BYTES_LIMIT // 2:
+        # fused single-pass Pallas backward (x and g VMEM-resident together)
+        return pallas_group_norm_bwd(
+            x, g, scale, bias, num_groups, eps, apply_silu
+        )
+    # larger maps: exact gradients by differentiating the XLA implementation
     _, vjp = jax.vjp(
         lambda x_, s_, b_: xla_group_norm(x_, s_, b_, num_groups, eps, apply_silu),
         x,

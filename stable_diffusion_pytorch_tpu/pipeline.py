@@ -136,6 +136,14 @@ class SamplingConfig(BaseConfig):
         default=1.0,
         metadata={"help": "strength of the ControlNet residuals (0 = off)."},
     )
+    deep_cache_interval: int = field(
+        default=0,
+        metadata={
+            "help": "DeepCache: refresh the UNet's deep trunk every N steps "
+            "and reuse it in between (N > 1 enables; speed/quality trade; "
+            "ddim/ddpm/dpmpp only)."
+        },
+    )
 
 
 def _load_image(image, resolution: int) -> np.ndarray:
@@ -337,8 +345,12 @@ def sample(
     guidance_rescale: float = 0.0,
     control_image=None,
     control_scale: float = 1.0,
+    deep_cache_interval: int = 0,
 ) -> List[np.ndarray]:
     """Sample image(s); returns HWC uint8 arrays and saves PNGs.
+
+    ``deep_cache_interval=N > 1`` enables DeepCache block caching (opt-in
+    speed/quality trade: the UNet's deep trunk refreshes every N steps).
 
     ``control_image`` (path / HWC uint8 / [-1,1] float array) steers sampling
     through the attached ControlNet (``model.attach_controlnet``), scaled by
@@ -408,6 +420,7 @@ def sample(
         guidance_rescale=guidance_rescale,
         control_hint=control_hint,
         control_scale=control_scale,
+        deep_cache_interval=deep_cache_interval,
     )
     images = model.decode_latent(x_0)
     images = np.asarray(images.astype(jnp.float32))

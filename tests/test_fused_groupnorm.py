@@ -73,3 +73,67 @@ def test_dispatch_falls_back_for_unaligned_channels():
     out = G.group_norm(x, scale, bias, 32)  # auto mode, must not raise
     ref = G.xla_group_norm(x, scale, bias, 32)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=1e-5, atol=1e-5)
+
+
+@pytest.mark.parametrize("silu", [False, True])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_pallas_gn_bwd_kernel_matches_vjp(silu, dtype):
+    """Direct check of the fused backward kernel (dx, dscale, dbias) against
+    autodiff of the XLA forward."""
+    from stable_diffusion_pytorch_tpu.ops.fused_groupnorm import (
+        pallas_group_norm_bwd,
+    )
+
+    x = jax.random.normal(KEY, (3, 8, 8, 128)).astype(dtype)
+    g = jax.random.normal(jax.random.fold_in(KEY, 1), (3, 8, 8, 128)).astype(dtype)
+    scale = (jnp.ones((128,)) * 1.3).astype(dtype)
+    bias = (jnp.ones((128,)) * 0.1).astype(dtype)
+
+    dx, dscale, dbias = pallas_group_norm_bwd(
+        x, g, scale, bias, 32, apply_silu=silu
+    )
+    _, vjp = jax.vjp(
+        lambda x_, s_, b_: G.xla_group_norm(x_, s_, b_, 32, apply_silu=silu),
+        x, scale, bias,
+    )
+    rx, rs, rb = vjp(g)
+    tol = 1e-4 if dtype == jnp.float32 else 6e-2
+    np.testing.assert_allclose(
+        np.asarray(dx, np.float32), np.asarray(rx, np.float32), rtol=tol, atol=tol
+    )
+    np.testing.assert_allclose(
+        np.asarray(dscale, np.float32), np.asarray(rs, np.float32),
+        rtol=tol, atol=tol,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dbias, np.float32), np.asarray(rb, np.float32),
+        rtol=tol, atol=tol,
+    )
+
+
+def test_fused_bwd_falls_back_for_large_maps(monkeypatch):
+    """Maps over half the VMEM budget take the XLA-vjp branch and stay exact."""
+    import stable_diffusion_pytorch_tpu.ops.fused_groupnorm as FG
+
+    G.set_groupnorm_impl("pallas")
+    monkeypatch.setattr(FG, "_VMEM_BYTES_LIMIT", 64 * 128 * 4 * 2)  # fwd ok, bwd not
+    try:
+        x = jax.random.normal(KEY, (2, 8, 8, 128))
+        scale, bias = jnp.ones((128,)), jnp.zeros((128,))
+
+        def loss(x_, s_, b_):
+            return jnp.sum(G.group_norm(x_, s_, b_, 32, apply_silu=True) ** 2)
+
+        gf = jax.grad(loss, argnums=(0, 1, 2))(x, scale, bias)
+        gx = jax.grad(
+            lambda x_, s_, b_: jnp.sum(
+                G.xla_group_norm(x_, s_, b_, 32, apply_silu=True) ** 2
+            ),
+            argnums=(0, 1, 2),
+        )(x, scale, bias)
+        for a, b in zip(gf, gx):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-4
+            )
+    finally:
+        G.set_groupnorm_impl("auto")
