@@ -157,6 +157,8 @@ def main(argv=None):
         else None,
         control_scale=cfg.sampling.control_scale,
         deep_cache_interval=cfg.sampling.deep_cache_interval,
+        hires_scale=cfg.sampling.hires_scale,
+        hires_strength=cfg.sampling.hires_strength,
     )
     logger.info(f"saved to {cfg.sampling.output_dir}/")
 

@@ -144,6 +144,21 @@ class SamplingConfig(BaseConfig):
             "ddim/ddpm/dpmpp only)."
         },
     )
+    hires_scale: float = field(
+        default=0.0,
+        metadata={
+            "help": "hires fix: sample at --image-size, latent-upscale by "
+            "this factor (e.g. 2), then img2img-refine at high resolution "
+            "(> 1 enables)."
+        },
+    )
+    hires_strength: float = field(
+        default=0.6,
+        metadata={
+            "help": "fraction of the schedule re-run at high resolution in "
+            "the hires fix."
+        },
+    )
 
 
 def _load_image(image, resolution: int) -> np.ndarray:
@@ -181,6 +196,51 @@ def _control_module_and_params(model, control_image, control_scale, image_size, 
         hint,
     )
     return shim, packed
+
+
+def _hires_refine(
+    model, x0, ctx, *, guidance_scale, sampler, time_steps, hires_scale,
+    hires_strength, key, negative_prompt, eta, prediction_type,
+    timestep_spacing, guidance_rescale,
+):
+    """Stage 2 of the hires fix: latent-space bilinear upscale + partial
+    re-noise + denoise of the final ``hires_strength`` schedule fraction."""
+    import jax.image
+
+    from stable_diffusion_pytorch_tpu.models import schedule as sched_lib
+    from stable_diffusion_pytorch_tpu.models.latent_diffusion import make_sample_fn
+
+    dtype = model.unet.dtype
+    b, h, w, c = x0.shape
+    h2, w2 = int(round(h * hires_scale)), int(round(w * hires_scale))
+    x_up = jax.image.resize(
+        x0.astype(jnp.float32), (b, h2, w2, c), method="bilinear"
+    ).astype(dtype)
+
+    fn = make_sample_fn(
+        model.unet,
+        model.noise_scheduler,
+        time_steps,
+        sampler=sampler,
+        guidance_scale=guidance_scale,
+        eta=eta,
+        strength=hires_strength,
+        prediction_type=prediction_type,
+        timestep_spacing=timestep_spacing,
+        guidance_rescale=guidance_rescale,
+    )
+    k_noise, k_loop = jax.random.split(key)
+    t0 = jnp.full((b,), fn.start_timestep, jnp.int32)
+    noise = jax.random.normal(k_noise, x_up.shape, dtype)
+    x_t = sched_lib.add_noise(model.noise_scheduler, x_up, noise, t0)
+    uncond = (
+        model.align_uncond(
+            model.encode_uncond(b, negative_prompt).astype(dtype), ctx
+        )
+        if guidance_scale > 1.0
+        else jnp.zeros_like(ctx)
+    )
+    return jax.jit(fn)(model.unet_params, x_t, ctx, uncond, k_loop)
 
 
 def img2img(
@@ -346,11 +406,19 @@ def sample(
     control_image=None,
     control_scale: float = 1.0,
     deep_cache_interval: int = 0,
+    hires_scale: float = 0.0,
+    hires_strength: float = 0.6,
 ) -> List[np.ndarray]:
     """Sample image(s); returns HWC uint8 arrays and saves PNGs.
 
     ``deep_cache_interval=N > 1`` enables DeepCache block caching (opt-in
     speed/quality trade: the UNet's deep trunk refreshes every N steps).
+
+    ``hires_scale > 1`` enables the two-stage hires fix (the A1111 scheme):
+    sample at ``image_size``, bilinear-upscale the LATENT by the factor, then
+    img2img-refine the final ``hires_strength`` fraction of the schedule at
+    high resolution — large images without the incoherence of sampling them
+    from scratch.
 
     ``control_image`` (path / HWC uint8 / [-1,1] float array) steers sampling
     through the attached ControlNet (``model.attach_controlnet``), scaled by
@@ -422,6 +490,21 @@ def sample(
         control_scale=control_scale,
         deep_cache_interval=deep_cache_interval,
     )
+    if hires_scale > 1.0:
+        x_0 = _hires_refine(
+            model, x_0, context_emb,
+            guidance_scale=guidance_scale,
+            sampler=sampler if sampler in ("ddim", "ddpm", "dpmpp") else "ddim",
+            time_steps=time_steps,
+            hires_scale=hires_scale,
+            hires_strength=hires_strength,
+            key=jax.random.fold_in(k_loop, 1),
+            negative_prompt=negative_prompt,
+            eta=eta,
+            prediction_type=prediction_type,
+            timestep_spacing=timestep_spacing,
+            guidance_rescale=guidance_rescale,
+        )
     images = model.decode_latent(x_0)
     images = np.asarray(images.astype(jnp.float32))
 

@@ -98,3 +98,35 @@ def test_clip_text_encoder_properties(tiny_model):
         np.asarray(emb[0, :10]), np.asarray(emb2[0, :10]), atol=1e-5
     )
     assert not np.allclose(np.asarray(emb[0, 10:]), np.asarray(emb2[0, 10:]))
+
+
+def test_hires_fix_two_stage(tmp_path, monkeypatch):
+    """hires fix: final image is at image_size * hires_scale, runs through the
+    real txt2img CLI."""
+    monkeypatch.chdir(tmp_path)
+    from scripts import txt2img
+
+    txt2img.main([
+        "--channels-list", "16,32",
+        "--n-heads", "4",
+        "--time-emb-dim", "32",
+        "--n-layers", "1",
+        "--autoencoder-channels-list", "8,16",
+        "--groups", "4",
+        "--noise-steps", "20",
+        "--image-size", "16",
+        "--sampling-steps", "4",
+        "--hires-scale", "2",
+        "--hires-strength", "0.5",
+        "--prompt", "a red circle",
+        "--output-dir", str(tmp_path / "out"),
+        "--output-name", "hires",
+    ])
+    import os
+
+    from PIL import Image
+
+    files = [f for f in os.listdir(tmp_path / "out") if "hires" in f]
+    assert files
+    img = Image.open(tmp_path / "out" / files[0])
+    assert img.size == (32, 32)  # 16 x 2
