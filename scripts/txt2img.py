@@ -159,6 +159,7 @@ def main(argv=None):
         deep_cache_interval=cfg.sampling.deep_cache_interval,
         hires_scale=cfg.sampling.hires_scale,
         hires_strength=cfg.sampling.hires_strength,
+        vae_tile=cfg.sampling.vae_tile,
     )
     logger.info(f"saved to {cfg.sampling.output_dir}/")
 

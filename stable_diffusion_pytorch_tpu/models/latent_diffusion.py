@@ -700,10 +700,66 @@ class LatentDiffusion:
             self.autoencoder_params, img, method=self.autoencoder.encode
         )
 
-    def decode_latent(self, latent: jnp.ndarray) -> jnp.ndarray:
-        return self.autoencoder.apply(
-            self.autoencoder_params, latent, method=self.autoencoder.decode
-        )
+    def decode_latent(
+        self,
+        latent: jnp.ndarray,
+        tile: Optional[int] = None,
+        tile_overlap: int = 8,
+    ) -> jnp.ndarray:
+        """VAE decode; ``tile`` (latent-space tile side) enables tiled decoding
+        for large images: overlapping latent tiles decode independently and
+        blend with linear ramps (diffusers enable_vae_tiling semantics — the
+        per-tile GroupNorm statistics make this a close approximation, not
+        bit-exact). Keeps peak decoder activations bounded by the tile size
+        instead of the full image."""
+        h, w = latent.shape[1:3]
+        if tile is None or (h <= tile and w <= tile):
+            return self.autoencoder.apply(
+                self.autoencoder_params, latent, method=self.autoencoder.decode
+            )
+        assert tile > 2 * tile_overlap, "tile must exceed twice the overlap"
+        f = 2 ** (len(self.autoencoder.channels_list) - 1)
+        stride = tile - tile_overlap
+
+        def ramp(n_pix: int, lo_open: bool, hi_open: bool) -> jnp.ndarray:
+            """Per-pixel blend weight: linear ramps on open (interior) edges."""
+            wgt = jnp.ones((n_pix,), jnp.float32)
+            r = tile_overlap * f
+            edge = (jnp.arange(r) + 1.0) / (r + 1.0)
+            if lo_open:
+                wgt = wgt.at[:r].set(edge)
+            if hi_open:
+                wgt = wgt.at[-r:].set(edge[::-1])
+            return wgt
+
+        b = latent.shape[0]
+        out = None
+        acc = None
+        row_starts = list(range(0, max(h - tile_overlap, 1), stride))
+        col_starts = list(range(0, max(w - tile_overlap, 1), stride))
+        for r0 in row_starts:
+            r1 = min(r0 + tile, h)
+            r0 = max(r1 - tile, 0)  # full-size tile even at the edge
+            for c0 in col_starts:
+                c1 = min(c0 + tile, w)
+                c0 = max(c1 - tile, 0)
+                dec = self.autoencoder.apply(
+                    self.autoencoder_params,
+                    latent[:, r0:r1, c0:c1, :],
+                    method=self.autoencoder.decode,
+                ).astype(jnp.float32)
+                if out is None:
+                    out = jnp.zeros(
+                        (b, h * f, w * f, dec.shape[-1]), jnp.float32
+                    )
+                    acc = jnp.zeros((b, h * f, w * f, 1), jnp.float32)
+                wgt = (
+                    ramp((r1 - r0) * f, r0 > 0, r1 < h)[:, None]
+                    * ramp((c1 - c0) * f, c0 > 0, c1 < w)[None, :]
+                )[None, :, :, None]
+                out = out.at[:, r0 * f : r1 * f, c0 * f : c1 * f, :].add(dec * wgt)
+                acc = acc.at[:, r0 * f : r1 * f, c0 * f : c1 * f, :].add(wgt)
+        return (out / jnp.maximum(acc, 1e-8)).astype(latent.dtype)
 
     def latent_shape(self, batch: int, image_size: int) -> Tuple[int, int, int, int]:
         f = 2 ** (len(self.autoencoder.channels_list) - 1)

@@ -159,6 +159,14 @@ class SamplingConfig(BaseConfig):
             "the hires fix."
         },
     )
+    vae_tile: int = field(
+        default=0,
+        metadata={
+            "help": "tiled VAE decode: latent-space tile side (e.g. 64) for "
+            "large images; 0 = decode whole (bounds decoder activations, "
+            "pairs with --hires-scale)."
+        },
+    )
 
 
 def _load_image(image, resolution: int) -> np.ndarray:
@@ -408,6 +416,7 @@ def sample(
     deep_cache_interval: int = 0,
     hires_scale: float = 0.0,
     hires_strength: float = 0.6,
+    vae_tile: int = 0,
 ) -> List[np.ndarray]:
     """Sample image(s); returns HWC uint8 arrays and saves PNGs.
 
@@ -505,7 +514,7 @@ def sample(
             timestep_spacing=timestep_spacing,
             guidance_rescale=guidance_rescale,
         )
-    images = model.decode_latent(x_0)
+    images = model.decode_latent(x_0, tile=vae_tile or None)
     images = np.asarray(images.astype(jnp.float32))
 
     outputs = []
