@@ -276,8 +276,13 @@ def load_clip_params(model_dir: str) -> Optional[dict]:
         }
     if state is None:
         return None
+    return {"params": convert_text_tower(state, "text_model.")}
 
-    prefix = "text_model."
+
+def convert_text_tower(state: dict, prefix: str) -> dict:
+    """HF CLIPTextModel state_dict (under ``prefix``) -> our
+    CLIPTextTransformer param dict (shared by the SD text-encoder loader and
+    the full-CLIP scorer loader in models/clip_vision.py)."""
     p: dict = {}
 
     def dense(w_key: str, b_key: Optional[str] = None) -> dict:
@@ -316,7 +321,7 @@ def load_clip_params(model_dir: str) -> Optional[dict]:
         "scale": np.asarray(state[prefix + "final_layer_norm.weight"]),
         "bias": np.asarray(state[prefix + "final_layer_norm.bias"]),
     }
-    return {"params": p}
+    return p
 
 
 class CLIPModel:
