@@ -97,26 +97,34 @@ def main(argv=None):
         assert cfg.sampling.control_image, (
             "--controlnet-checkpoint needs --control-image"
         )
-        path = cfg.sampling.controlnet_checkpoint
-        if _os.path.isdir(path) and not _os.path.basename(path).startswith(
-            ("checkpoint", "epoch")
-        ):
-            path = find_latest_checkpoint(path) or path
-        controlnet = ControlNet.from_unet_config(
-            model.unet.latent_channels,
-            cfg.model.autoencoder.groups,
-            cfg.model.unet,
-            hint_downsamples=len(
-                cfg.model.autoencoder.autoencoder_channels_list
-            ) - 1,
-            compat=compat,
-            dtype=dtype,
-        )
-        model.attach_controlnet(controlnet, load_params_for_inference(path))
+        # comma-separated lists compose multiple ControlNets (residuals sum)
+        ckpts = [p for p in cfg.sampling.controlnet_checkpoint.split(",") if p]
+        modules, params = [], []
+        for raw in ckpts:
+            path = raw
+            if _os.path.isdir(path) and not _os.path.basename(path).startswith(
+                ("checkpoint", "epoch")
+            ):
+                path = find_latest_checkpoint(path) or path
+            modules.append(
+                ControlNet.from_unet_config(
+                    model.unet.latent_channels,
+                    cfg.model.autoencoder.groups,
+                    cfg.model.unet,
+                    hint_downsamples=len(
+                        cfg.model.autoencoder.autoencoder_channels_list
+                    ) - 1,
+                    compat=compat,
+                    dtype=dtype,
+                )
+            )
+            params.append(load_params_for_inference(path))
+            logger.info(f"loaded ControlNet from {path}")
+        model.attach_controlnet(modules, params)
         logger.info(
-            f"loaded ControlNet from {path} "
-            f"(hint: {cfg.sampling.control_image}, "
-            f"scale {cfg.sampling.control_scale:g})"
+            f"{len(modules)} ControlNet(s) attached "
+            f"(hints: {cfg.sampling.control_image}, "
+            f"scales {cfg.sampling.control_scale})"
         )
 
     if cfg.sampling.textual_inversion:
@@ -152,9 +160,14 @@ def main(argv=None):
         prediction_type=cfg.sampling.prediction_type,
         timestep_spacing=cfg.sampling.timestep_spacing,
         guidance_rescale=cfg.sampling.guidance_rescale,
-        control_image=cfg.sampling.control_image
-        if cfg.sampling.controlnet_checkpoint
-        else None,
+        control_image=(
+            [p for p in cfg.sampling.control_image.split(",") if p]
+            if cfg.sampling.controlnet_checkpoint
+            and "," in cfg.sampling.control_image
+            else cfg.sampling.control_image
+            if cfg.sampling.controlnet_checkpoint
+            else None
+        ),
         control_scale=cfg.sampling.control_scale,
         deep_cache_interval=cfg.sampling.deep_cache_interval,
         hires_scale=cfg.sampling.hires_scale,

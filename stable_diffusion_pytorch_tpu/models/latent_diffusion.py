@@ -94,40 +94,41 @@ def make_pred_noise_fn(
     return pred_noise
 
 
-def _merge_control_params(unet_params, controlnet_params):
-    """One param tree for ControlledUNetModel: {"params": {"unet", "controlnet"}}."""
-    up = unet_params["params"] if "params" in unet_params else unet_params
-    cp = (
-        controlnet_params["params"]
-        if "params" in controlnet_params
-        else controlnet_params
-    )
-    return {"params": {"unet": up, "controlnet": cp}}
-
-
 class _ControlShim:
     """Duck-typed ``unet_module`` for the samplers: ``apply(packed, x, t, c)``
-    where ``packed = (merged_params, hint)``. The hint stays a traced input —
-    no recompile per image — and is tiled when CFG doubles the batch."""
+    where ``packed = (unet_params, (cn_params...), (hints...))``. Hints stay
+    traced inputs — no recompile per image — and are tiled when CFG doubles
+    the batch. MULTIPLE ControlNets compose by summing their scaled residuals
+    (the standard multi-ControlNet scheme)."""
 
-    def __init__(self, unet_module, controlnet_module, control_scale: float = 1.0):
-        from stable_diffusion_pytorch_tpu.models.controlnet import (
-            ControlledUNetModel,
-        )
-
-        self.module = ControlledUNetModel(
-            unet=unet_module, controlnet=controlnet_module
-        )
-        self.control_scale = control_scale
+    def __init__(self, unet_module, controlnet_modules, control_scales):
+        self.unet = unet_module
+        self.controlnets = list(controlnet_modules)
+        self.scales = [float(s) for s in control_scales]
+        assert len(self.controlnets) == len(self.scales)
         self.dtype = unet_module.dtype
 
     def apply(self, packed, x, t, context_emb):
-        params, hint = packed
-        if hint.shape[0] != x.shape[0]:  # CFG doubled the batch
-            reps = x.shape[0] // hint.shape[0]
-            hint = jnp.concatenate([hint] * reps, axis=0)
-        return self.module.apply(
-            params, x, t, context_emb, hint, control_scale=self.control_scale
+        unet_params, cn_params_list, hints = packed
+        total_skips = None
+        total_mid = None
+        for mod, p, scale, hint in zip(
+            self.controlnets, cn_params_list, self.scales, hints
+        ):
+            if hint.shape[0] != x.shape[0]:  # CFG doubled the batch
+                reps = x.shape[0] // hint.shape[0]
+                hint = jnp.concatenate([hint] * reps, axis=0)
+            skips, mid = mod.apply(p, x, t, context_emb, hint)
+            s = jnp.asarray(scale, mid.dtype)
+            if total_skips is None:
+                total_skips = [r * s for r in skips]
+                total_mid = mid * s
+            else:
+                total_skips = [a + r * s for a, r in zip(total_skips, skips)]
+                total_mid = total_mid + mid * s
+        return self.unet.apply(
+            unet_params, x, t, context_emb,
+            control=(tuple(total_skips), total_mid),
         )
 
 
@@ -515,10 +516,16 @@ class LatentDiffusion:
         self._jit_cache: dict = {}
 
     def attach_controlnet(self, controlnet_module, controlnet_params) -> None:
-        """Register a ControlNet (models/controlnet.py); subsequent ``sample``
-        calls may pass ``control_hint`` to steer generation."""
-        self.controlnet = controlnet_module
-        self.controlnet_params = controlnet_params
+        """Register one or several ControlNets (models/controlnet.py); pass
+        lists for multi-ControlNet composition (residuals sum). Subsequent
+        ``sample`` calls may pass ``control_hint`` (one hint per net) to steer
+        generation."""
+        if not isinstance(controlnet_module, (list, tuple)):
+            controlnet_module = [controlnet_module]
+            controlnet_params = [controlnet_params]
+        assert len(controlnet_module) == len(controlnet_params)
+        self.controlnet = list(controlnet_module)
+        self.controlnet_params = list(controlnet_params)
         self._jit_cache.clear()
 
     # ------------------------------------------------------------------ #
@@ -623,6 +630,8 @@ class LatentDiffusion:
         routes every denoiser call through the attached ControlNet
         (``attach_controlnet``); the hint rides the sampler as a traced input
         packed alongside the params, so one compiled program serves any hint.
+        Multi-ControlNet: pass a LIST of hints (one per attached net) and
+        optionally a list of ``control_scale`` values — the residuals sum.
         """
         num_steps = time_steps or self.noise_scheduler.noise_steps
         compat = self.compat
@@ -630,6 +639,20 @@ class LatentDiffusion:
         if use_control:
             assert self.controlnet is not None, (
                 "call attach_controlnet(...) before sampling with control_hint"
+            )
+            hints = (
+                list(control_hint)
+                if isinstance(control_hint, (list, tuple))
+                else [control_hint]
+            )
+            assert len(hints) == len(self.controlnet), (
+                f"{len(hints)} hint(s) for {len(self.controlnet)} attached "
+                "ControlNet(s)"
+            )
+            scales = (
+                [float(s) for s in control_scale]
+                if isinstance(control_scale, (list, tuple))
+                else [float(control_scale)] * len(hints)
             )
         cache_key = (
             num_steps,
@@ -644,12 +667,14 @@ class LatentDiffusion:
             float(guidance_rescale),
             noised_sample.shape,
             context_emb.shape,
-            (jnp.shape(control_hint), float(control_scale)) if use_control else None,
+            (tuple(jnp.shape(h) for h in hints), tuple(scales))
+            if use_control
+            else None,
             int(deep_cache_interval),
         )
         if cache_key not in self._jit_cache:
             fn = make_sample_fn(
-                _ControlShim(self.unet, self.controlnet, float(control_scale))
+                _ControlShim(self.unet, self.controlnet, scales)
                 if use_control
                 else self.unet,
                 self.noise_scheduler,
@@ -684,8 +709,9 @@ class LatentDiffusion:
             key = jax.random.PRNGKey(0)
         if use_control:
             packed = (
-                _merge_control_params(self.unet_params, self.controlnet_params),
-                jnp.asarray(control_hint, noised_sample.dtype),
+                self.unet_params,
+                tuple(self.controlnet_params),
+                tuple(jnp.asarray(h, noised_sample.dtype) for h in hints),
             )
             return sample_fn(packed, noised_sample, context_emb, uncond, key)
         return sample_fn(self.unet_params, noised_sample, context_emb, uncond, key)

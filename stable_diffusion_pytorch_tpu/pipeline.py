@@ -129,7 +129,8 @@ class SamplingConfig(BaseConfig):
         default=None,
         metadata={
             "help": "conditioning image (e.g. edge map) steering sampling "
-            "through the loaded ControlNet."
+            "through the loaded ControlNet; comma-separated list for "
+            "multi-ControlNet (matching --controlnet-checkpoint order)."
         },
     )
     control_scale: float = field(
@@ -184,25 +185,35 @@ def _load_image(image, resolution: int) -> np.ndarray:
 
 
 def _control_module_and_params(model, control_image, control_scale, image_size, dtype):
-    """(module, params-for-the-sampler) pair: the plain UNet, or — when a
-    control image is given — the ControlNet shim with the hint packed
-    alongside the merged params (models/latent_diffusion.py:_ControlShim)."""
+    """(module, params-for-the-sampler) pair: the plain UNet, or — when
+    control image(s) are given — the ControlNet shim with the hints packed
+    alongside the params (models/latent_diffusion.py:_ControlShim). Lists
+    compose multiple ControlNets (residuals sum)."""
     if control_image is None:
         return model.unet, model.unet_params
-    from stable_diffusion_pytorch_tpu.models.latent_diffusion import (
-        _ControlShim,
-        _merge_control_params,
-    )
+    from stable_diffusion_pytorch_tpu.models.latent_diffusion import _ControlShim
 
     assert model.controlnet is not None, (
         "pass control_image only after model.attach_controlnet(...)"
     )
-    hint = jnp.asarray(_load_image(control_image, image_size), dtype)
-    shim = _ControlShim(model.unet, model.controlnet, float(control_scale))
-    packed = (
-        _merge_control_params(model.unet_params, model.controlnet_params),
-        hint,
+    images = (
+        list(control_image)
+        if isinstance(control_image, (list, tuple))
+        else [control_image]
     )
+    assert len(images) == len(model.controlnet), (
+        f"{len(images)} control image(s) for {len(model.controlnet)} nets"
+    )
+    scales = (
+        [float(s) for s in control_scale]
+        if isinstance(control_scale, (list, tuple))
+        else [float(control_scale)] * len(images)
+    )
+    hints = tuple(
+        jnp.asarray(_load_image(img, image_size), dtype) for img in images
+    )
+    shim = _ControlShim(model.unet, model.controlnet, scales)
+    packed = (model.unet_params, tuple(model.controlnet_params), hints)
     return shim, packed
 
 
@@ -478,7 +489,11 @@ def sample(
 
     control_hint = None
     if control_image is not None:
-        control_hint = jnp.asarray(_load_image(control_image, image_size))
+        control_hint = (
+            [jnp.asarray(_load_image(i, image_size)) for i in control_image]
+            if isinstance(control_image, (list, tuple))
+            else jnp.asarray(_load_image(control_image, image_size))
+        )
 
     x_0 = model.sample(
         noised_sample=noise,

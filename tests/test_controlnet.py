@@ -174,6 +174,60 @@ def test_sample_with_control_hint_cfg_path(tiny):
     assert not np.allclose(out_a, out_plain)
 
 
+def test_multi_controlnet_composition():
+    """Two attached ControlNets: residuals sum; per-net scales behave — scale
+    0 on one net reduces to the other net alone."""
+    from stable_diffusion_pytorch_tpu.config import load_config
+    from stable_diffusion_pytorch_tpu.models.build import build_models
+
+    _, cfg = load_config([
+        "--channels-list", "16,32", "--n-heads", "4", "--time-emb-dim", "32",
+        "--n-layers", "1", "--autoencoder-channels-list", "8,16", "--groups", "4",
+        "--noise-steps", "20",
+    ])
+    model = build_models(cfg.model, init_image_size=16)
+    key = jax.random.PRNGKey(0)
+    lat_shape = model.latent_shape(1, 16)
+
+    nets, params = [], []
+    for i in range(2):
+        cn = ControlNet.from_unet_config(4, 4, cfg.model.unet, hint_downsamples=1)
+        p = cn.init(
+            jax.random.fold_in(key, i),
+            jnp.zeros(lat_shape),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1, 77, 768)),
+            jnp.zeros((1, 16, 16, 3)),
+        )
+        nets.append(cn)
+        params.append({"params": _perturb(p["params"], 0.02, seed=10 + i)})
+    model.attach_controlnet(nets, params)
+
+    ctx = model.encode_prompts(["a red circle"]).astype(jnp.float32)
+    noise = jax.random.normal(key, lat_shape)
+    hints = [jnp.ones((1, 16, 16, 3)) * 0.5, -jnp.ones((1, 16, 16, 3)) * 0.3]
+    kwargs = dict(
+        context_emb=ctx, guidance_scale=7.5, time_steps=2, sampler="ddim", key=key
+    )
+    both = np.asarray(
+        model.sample(noised_sample=noise, control_hint=hints,
+                     control_scale=[1.0, 1.0], **kwargs)
+    )
+    first_only_scaled = np.asarray(
+        model.sample(noised_sample=noise, control_hint=hints,
+                     control_scale=[1.0, 0.0], **kwargs)
+    )
+    assert np.isfinite(both).all()
+    assert not np.allclose(both, first_only_scaled)
+
+    # second net at scale 0 == only the first net attached
+    model.attach_controlnet(nets[0], params[0])
+    first_only = np.asarray(
+        model.sample(noised_sample=noise, control_hint=hints[0], **kwargs)
+    )
+    np.testing.assert_allclose(first_only_scaled, first_only, atol=1e-5)
+
+
 def test_img2img_and_inpaint_with_control(tmp_path):
     """The img2img and inpaint pipelines accept control_image once a
     ControlNet is attached; the hint changes both results."""
