@@ -81,3 +81,55 @@ def test_dispatch_uses_flash_when_forced():
         A.set_attention_impl("auto")
     ref = A.xla_attention(q, k, v, 1.0 / np.sqrt(32))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+
+def test_auto_fallback_warns_once_and_counts(monkeypatch, caplog):
+    """Auto-mode Pallas failure must degrade loudly: one warning per process,
+    a fallback counter bench.py can assert on, and a correct XLA result."""
+    import logging
+
+    from stable_diffusion_pytorch_tpu.ops import attention as A
+    from stable_diffusion_pytorch_tpu.ops import flash_attention as FA
+
+    def broken(*a, **k):
+        raise RuntimeError("deliberately broken kernel")
+
+    monkeypatch.setattr(FA, "flash_attention", broken)
+    monkeypatch.setattr(A, "_use_pallas", lambda q: True)
+    A.reset_attention_stats()
+
+    ks = jax.random.split(KEY, 3)
+    q = rand((1, 64, 2, 32), ks[0])
+    k = rand((1, 77, 2, 32), ks[1])
+    v = rand((1, 77, 2, 32), ks[2])
+
+    with caplog.at_level(logging.WARNING, logger=A.logger.name):
+        out = A.multi_head_attention(q, k, v)
+        out2 = A.multi_head_attention(q, k, v)
+
+    ref = A.xla_attention(q, k, v, 1.0 / np.sqrt(32))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(out2), np.asarray(ref), rtol=2e-5, atol=2e-5)
+    warnings = [r for r in caplog.records if "falling back" in r.getMessage()]
+    assert len(warnings) == 1, "fallback warning must fire exactly once per process"
+    stats = A.attention_stats()
+    assert stats["fallback"] == 2 and stats["xla"] == 2 and stats["flash"] == 0
+    A.reset_attention_stats()
+
+
+def test_forced_pallas_reraises(monkeypatch):
+    from stable_diffusion_pytorch_tpu.ops import attention as A
+    from stable_diffusion_pytorch_tpu.ops import flash_attention as FA
+
+    def broken(*a, **k):
+        raise RuntimeError("deliberately broken kernel")
+
+    monkeypatch.setattr(FA, "flash_attention", broken)
+    A.set_attention_impl("pallas")
+    try:
+        with pytest.raises(RuntimeError, match="deliberately broken"):
+            A.multi_head_attention(
+                rand((1, 8, 1, 8)), rand((1, 8, 1, 8)), rand((1, 8, 1, 8))
+            )
+    finally:
+        A.set_attention_impl("auto")
