@@ -94,6 +94,9 @@ class Trainer:
         self.global_train_batch = cfg.train.train_batch_size * self.num_devices
         self.global_eval_batch = cfg.train.eval_batch_size * self.num_devices
 
+        # async decode+prefetch per dataloader_num_workers
+        # (/root/reference/train_unet.py:152-167 worker semantics)
+        num_workers = int(getattr(cfg.dataset, "dataloader_num_workers", 0) or 0)
         self.train_loader = DataLoader(
             train_dataset,
             batch_size=self.global_train_batch // num_shards,
@@ -102,6 +105,7 @@ class Trainer:
             collate=train_collate,
             shard_id=shard_id,
             num_shards=num_shards,
+            num_workers=num_workers,
         )
         self.eval_loader = (
             DataLoader(
@@ -111,6 +115,7 @@ class Trainer:
                 seed=cfg.train.seed,
                 shard_id=shard_id,
                 num_shards=num_shards,
+                num_workers=num_workers,
             )
             if eval_dataset is not None
             else None

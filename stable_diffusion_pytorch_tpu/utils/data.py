@@ -642,10 +642,19 @@ def sample_test_image(args, split, tokenizer, logger=None, num: int = 10):
 
 
 class DataLoader:
-    """Minimal deterministic batcher with fixed shapes (drop_last) for jit.
+    """Deterministic batcher with fixed shapes (drop_last) for jit, with an
+    optional asynchronous prefetch pipeline.
 
     Per-host sharding for pod-scale runs: pass (shard_id, num_shards) and each
     host sees a disjoint, deterministic subset each epoch.
+
+    ``num_workers > 0`` is the TPU-native analog of the reference's
+    DataLoader worker subprocesses (/root/reference/train_unet.py:152-167):
+    a background producer thread decodes rows on a ``num_workers``-thread pool
+    and keeps a ``prefetch``-deep queue of collated batches, overlapping
+    host-side decode with the device step. Batch order and contents are
+    identical to the synchronous path (rows are mapped in order), so
+    resume/replay determinism is unaffected.
     """
 
     def __init__(
@@ -658,6 +667,8 @@ class DataLoader:
         shard_id: int = 0,
         num_shards: int = 1,
         collate=None,
+        num_workers: int = 0,
+        prefetch: int = 2,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -667,6 +678,8 @@ class DataLoader:
         self.shard_id = shard_id
         self.num_shards = num_shards
         self.collate = collate or collate_fn
+        self.num_workers = num_workers
+        self.prefetch = max(2, prefetch)
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -680,18 +693,78 @@ class DataLoader:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
-    def __iter__(self) -> Iterator[dict]:
+    def _batch_indices(self) -> List[np.ndarray]:
         indices = np.arange(len(self.dataset))
         if self.shuffle:
             rng = np.random.default_rng(self.seed + self.epoch)
             rng.shuffle(indices)
         indices = indices[self.shard_id :: self.num_shards]
-        n_batches = len(self)
-        for b in range(n_batches):
-            rows = [
-                self.dataset[int(i)]
-                for i in indices[b * self.batch_size : (b + 1) * self.batch_size]
-            ]
-            if not rows:
-                return
-            yield self.collate(rows)
+        return [
+            indices[b * self.batch_size : (b + 1) * self.batch_size]
+            for b in range(len(self))
+        ]
+
+    def __iter__(self) -> Iterator[dict]:
+        batches = self._batch_indices()
+        if self.num_workers <= 0:
+            for bidx in batches:
+                rows = [self.dataset[int(i)] for i in bidx]
+                if not rows:
+                    return
+                yield self.collate(rows)
+            return
+        yield from self._iter_async(batches)
+
+    def _iter_async(self, batches: List[np.ndarray]) -> Iterator[dict]:
+        import queue
+        import threading
+        from concurrent.futures import ThreadPoolExecutor
+
+        q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def _put(item) -> bool:
+            # bounded put that stays responsive to consumer abandonment
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
+        def _produce() -> None:
+            try:
+                with ThreadPoolExecutor(max_workers=self.num_workers) as ex:
+                    for bidx in batches:
+                        if stop.is_set():
+                            return
+                        rows = list(ex.map(lambda i: self.dataset[int(i)], bidx))
+                        if not rows or not _put(("batch", self.collate(rows))):
+                            return
+                _put(("done", None))
+            except BaseException as exc:  # surface worker errors to the consumer
+                _put(("error", exc))
+
+        producer = threading.Thread(
+            target=_produce, name="dataloader-prefetch", daemon=True
+        )
+        producer.start()
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "batch":
+                    yield payload
+                elif kind == "error":
+                    raise payload
+                else:
+                    return
+        finally:
+            stop.set()
+            # drain so a blocked producer can observe the stop flag and exit
+            try:
+                while True:
+                    q.get_nowait()
+            except queue.Empty:
+                pass
+            producer.join(timeout=5.0)

@@ -213,3 +213,63 @@ def test_device_preprocess_matches_host_semantics():
     # center crop; implementations differ (PIL vs XLA), so tolerance is loose)
     host = np.stack([transform_image(imgs[i], 32, center_crop=True) for i in range(2)])
     assert np.mean(np.abs(out_np - host)) < 0.08
+
+
+# --------------------------------------------------------------------------- #
+# async prefetching loader (dataloader_num_workers,
+# /root/reference/train_unet.py:152-167 worker semantics)
+# --------------------------------------------------------------------------- #
+
+
+def test_async_loader_matches_sync_exactly():
+    cfg = DatasetConfig(dataset="synthetic", resolution=16)
+    ds = SyntheticTextImageDataset(cfg, "train", HashTokenizer(), num_rows=24)
+    sync = DataLoader(ds, batch_size=4, shuffle=True, seed=5)
+    asyn = DataLoader(ds, batch_size=4, shuffle=True, seed=5, num_workers=3)
+    sync.set_epoch(2)
+    asyn.set_epoch(2)
+    sync_batches = list(sync)
+    async_batches = list(asyn)
+    assert len(sync_batches) == len(async_batches) == 6
+    for a, b in zip(sync_batches, async_batches):
+        np.testing.assert_array_equal(a["pixel_values"], b["pixel_values"])
+        np.testing.assert_array_equal(a["input_ids"], b["input_ids"])
+
+
+def test_async_loader_propagates_worker_errors():
+    class Exploding:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, idx):
+            if idx == 5:
+                raise ValueError("bad row 5")
+            return {
+                "pixel_values": np.zeros((4, 4, 3), np.float32),
+                "input_ids": np.zeros((77,), np.int32),
+            }
+
+    dl = DataLoader(Exploding(), batch_size=2, num_workers=2)
+    with pytest.raises(ValueError, match="bad row 5"):
+        list(dl)
+
+
+def test_async_loader_abandoned_iterator_shuts_down():
+    import threading
+
+    cfg = DatasetConfig(dataset="synthetic", resolution=16)
+    ds = SyntheticTextImageDataset(cfg, "train", HashTokenizer(), num_rows=64)
+    dl = DataLoader(ds, batch_size=2, num_workers=2, prefetch=2)
+    it = iter(dl)
+    next(it)
+    it.close()  # generator close must stop the producer thread
+    deadline = 50  # 5s
+    while deadline and any(
+        t.name == "dataloader-prefetch" and t.is_alive()
+        for t in threading.enumerate()
+    ):
+        import time
+
+        time.sleep(0.1)
+        deadline -= 1
+    assert deadline > 0, "prefetch producer thread leaked after abandonment"
