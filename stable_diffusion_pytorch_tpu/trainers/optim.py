@@ -10,9 +10,11 @@ Semantics notes:
   ``optax.MultiSteps`` advances the inner optimizer once per *optimizer* step,
   so warmup/total are used directly — the LR trajectory per optimizer step is
   identical.
-- ``use_8bit_adam`` (bitsandbytes, CUDA-only in the reference) maps to the
-  closest TPU analog: a bf16-stored first moment (``--adam-mu-dtype bf16``),
-  which halves that state's HBM footprint while keeping update math in f32.
+- ``use_8bit_adam`` (bitsandbytes, CUDA-only in the reference) selects the
+  true TPU-native 8-bit optimizer: int8 block-quantized moments
+  (trainers/adam8bit.py, ~4x optimizer-state memory reduction). A milder
+  option remains: ``--adam-mu-dtype bf16`` stores only the first moment in
+  bf16 while keeping update math in f32.
 """
 
 from __future__ import annotations
@@ -57,10 +59,25 @@ def build_optimizer(
         optim_cfg.lr_warmup_steps,
         max_train_steps,
     )
-    use_bf16_mu = (
-        getattr(optim_cfg, "adam_mu_dtype", "f32") == "bf16"
-        or getattr(optim_cfg, "use_8bit_adam", False)
-    )
+    if getattr(optim_cfg, "use_8bit_adam", False):
+        # true 8-bit optimizer state (int8 block-quantized moments), the
+        # reference's bitsandbytes AdamW8bit analog (train_unet.py:210-218)
+        from stable_diffusion_pytorch_tpu.trainers.adam8bit import adamw_8bit
+
+        tx = optax.chain(
+            optax.clip_by_global_norm(optim_cfg.max_grad_norm),
+            adamw_8bit(
+                learning_rate=schedule,
+                b1=0.9,
+                b2=0.999,
+                eps=1e-8,
+                weight_decay=optim_cfg.adam_weight_decay,
+            ),
+        )
+        if gradient_accumulation_steps > 1:
+            tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulation_steps)
+        return tx
+    use_bf16_mu = getattr(optim_cfg, "adam_mu_dtype", "f32") == "bf16"
     tx = optax.chain(
         optax.clip_by_global_norm(optim_cfg.max_grad_norm),
         optax.adamw(
@@ -69,8 +86,7 @@ def build_optimizer(
             b2=0.999,
             eps=1e-8,
             weight_decay=optim_cfg.adam_weight_decay,
-            # bf16 first moment: the TPU analog of the reference's 8-bit Adam
-            # intent (memory-lean optimizer state); update math stays f32
+            # bf16 first moment: milder memory-lean option; update math stays f32
             mu_dtype="bfloat16" if use_bf16_mu else None,
         ),
     )
