@@ -30,6 +30,15 @@ class ParallelConfig(BaseConfig):
         default=False,
         metadata={"help": "Shard optax state along the data axis (ZeRO-2 analog)."},
     )
+    offload_optimizer: bool = field(
+        default=False,
+        metadata={
+            "help": "Keep optimizer state in host memory between steps "
+            "(DeepSpeed offload_optimizer_device='cpu' analog, "
+            "train_unet.py:101-109): moments live in pinned host RAM and "
+            "stream to the device only inside the update."
+        },
+    )
     shard_params: bool = field(
         default=False,
         metadata={

@@ -146,6 +146,41 @@ def combine_zero(mesh: Mesh, pytree, base_tree) -> object:
     return jax.tree_util.tree_map(combine, pytree, base_tree)
 
 
+def host_offload_shardings(sharding_tree):
+    """Re-target a sharding tree at pinned host memory (DeepSpeed
+    offload_optimizer_device="cpu" analog, train_unet.py:101-109).
+
+    Arrays placed with these shardings live in host RAM; XLA streams them to
+    the device where the jitted update consumes them. Layout (which axis
+    shards over ``data``) is preserved, so ZeRO + offload compose.
+    """
+    return jax.tree_util.tree_map(
+        lambda s: s.with_memory_kind("pinned_host"), sharding_tree
+    )
+
+
+def per_device_bytes(pytree, device=None) -> int:
+    """Measured per-device footprint of a pytree: sum of the addressable shard
+    bytes held by ``device`` (default: the first local device), counting only
+    device-memory residents (host-offloaded buffers are excluded).
+
+    This measures what is actually allocated per device for these arrays —
+    the number that proves (or disproves) a ZeRO sharding claim.
+    """
+    device = device or jax.local_devices()[0]
+    total = 0
+    for leaf in jax.tree_util.tree_leaves(pytree):
+        if not hasattr(leaf, "addressable_shards"):
+            continue
+        kind = getattr(leaf.sharding, "memory_kind", None)
+        if kind not in (None, "device", "tpu_hbm"):
+            continue  # offloaded to host: not a device-memory resident
+        for shard in leaf.addressable_shards:
+            if shard.device == device:
+                total += shard.data.nbytes
+    return total
+
+
 def put_replicated(mesh: Mesh, pytree):
     """Place a host pytree on the mesh fully replicated."""
     return jax.device_put(pytree, replicated(mesh))

@@ -201,6 +201,24 @@ class Trainer:
             )
         else:
             opt_sharding = base_opt
+        # DeepSpeed CPU-offload analog (train_unet.py:101-109): optimizer
+        # state lives in pinned host memory between steps; XLA streams it in
+        # at the jitted update, and the loop copies the new state back out
+        self._offload_opt = bool(
+            getattr(self.cfg.parallel, "offload_optimizer", False)
+        )
+        if self._offload_opt and jax.default_backend() == "cpu" and mesh.devices.size == 1:
+            # CPU "device" memory IS host RAM (offload is a no-op there), and
+            # the single-device host platform lacks the placement custom-call
+            self.logger.warning(
+                "--offload-optimizer ignored on a single CPU device "
+                "(host and device memory coincide)"
+            )
+            self._offload_opt = False
+        if self._offload_opt:
+            self._opt_dev_shardings = opt_sharding  # stream-in target inside jit
+            opt_sharding = mesh_lib.host_offload_shardings(opt_sharding)
+            self._opt_host_shardings = opt_sharding
 
         ema = state.ema_params
         if ema is not None:
@@ -217,6 +235,24 @@ class Trainer:
             opt_state=jax.device_put(state.opt_state, opt_sharding),
             ema_params=ema,
         )
+
+    def _jit_step(self, train_step):
+        """jit a ``(state, *args) -> (state, metrics)`` step. With
+        ``--offload-optimizer`` the optimizer state arrives in pinned host
+        memory; ops cannot mix memory spaces, so the wrapper streams it to
+        device shardings at entry (XLA overlaps the transfer with the
+        forward/backward). The loop evicts the new state back to host."""
+
+        def step(state, *args):
+            if getattr(self, "_offload_opt", False):
+                state = state.replace(
+                    opt_state=jax.device_put(
+                        state.opt_state, self._opt_dev_shardings
+                    )
+                )
+            return train_step(state, *args)
+
+        return jax.jit(step, donate_argnums=(0,))
 
     def _place_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
         usable = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
@@ -296,6 +332,15 @@ class Trainer:
                 placed = self._place_batch(batch)
                 with step_timer:
                     metrics = self._train_step(placed, key)
+                    if getattr(self, "_offload_opt", False):
+                        # evict the new moments to pinned host RAM; the next
+                        # step's jit streams them back in (device HBM holds no
+                        # optimizer state between steps)
+                        self.state = self.state.replace(
+                            opt_state=jax.device_put(
+                                self.state.opt_state, self._opt_host_shardings
+                            )
+                        )
                     jax.block_until_ready(metrics["loss"])
                 micro_step += 1
                 window_losses.append(metrics["loss"])
@@ -501,7 +546,7 @@ class UNetTrainer(Trainer):
                 else 0.0
             ),
         )
-        self._jit_train = jax.jit(train_step, donate_argnums=(0,))
+        self._jit_train = self._jit_step(train_step)
         self._jit_eval = jax.jit(eval_step)
 
         self.state = self._place_state(
@@ -596,7 +641,7 @@ class TextualInversionTrainer(Trainer):
             ema_decay=cfg.train.ema_decay,
             gradient_accumulation_steps=cfg.train.gradient_accumulation_steps,
         )
-        self._jit_train = jax.jit(train_step, donate_argnums=(0,))
+        self._jit_train = self._jit_step(train_step)
         self._jit_eval = jax.jit(eval_step)
 
         self.state = self._place_state(
@@ -711,7 +756,7 @@ class ControlNetTrainer(Trainer):
             ema_decay=cfg.train.ema_decay,
             gradient_accumulation_steps=cfg.train.gradient_accumulation_steps,
         )
-        self._jit_train = jax.jit(train_step, donate_argnums=(0,))
+        self._jit_train = self._jit_step(train_step)
         self._jit_eval = jax.jit(eval_step)
 
         self.state = self._place_state(
@@ -798,7 +843,7 @@ class AutoencoderTrainer(Trainer):
                 getattr(self.cfg.log, "log_grad_noise_scale", False)
             ),
         )
-        self._jit_train = jax.jit(train_step, donate_argnums=(0,))
+        self._jit_train = self._jit_step(train_step)
         self._jit_eval = jax.jit(eval_step)
         self.state = self._place_state(
             TrainState.create(

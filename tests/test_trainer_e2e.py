@@ -150,3 +150,25 @@ def test_grad_noise_scale_and_spike_flags(tmp_path, monkeypatch):
     gns = [r["grad_noise_scale"] for r in m if "grad_noise_scale" in r]
     assert len(gns) >= 1, "B_noise must appear after the 5-step EMA warmup"
     assert all(np.isfinite(v) for v in gns)
+
+
+def test_train_unet_with_offload_and_8bit_adam(tmp_path, monkeypatch):
+    """DeepSpeed-analog switches together: --offload-optimizer streams host-
+    resident optimizer state through the jitted step each iteration;
+    --use-8bit-adam stores int8 moments (train_unet.py:101-109, 210-218)."""
+    monkeypatch.chdir(tmp_path)
+    import train_unet
+
+    train_unet.main(
+        TINY + [
+            "--max-train-steps", "3",
+            "--log-interval", "0",
+            "--offload-optimizer",
+            "--use-8bit-adam",
+            "--ckpt-dir", str(tmp_path / "ckpt"),
+            "--logging-dir", str(tmp_path / "logs"),
+        ]
+    )
+    m = _metrics(tmp_path / "logs" / "train_unet_metrics.jsonl")
+    losses = [r["train_loss"] for r in m if "train_loss" in r]
+    assert len(losses) == 3 and all(np.isfinite(l) for l in losses)
