@@ -87,6 +87,57 @@ class VAEFeatureExtractor:
         return np.asarray(self._fn(self._params, jnp.asarray(images)), np.float64)
 
 
+class FlaxInceptionFeatureExtractor:
+    """Canonical InceptionV3 pool3 features, TPU-native (models/inception.py).
+
+    Runs the torchvision ``inception_v3`` architecture in Flax from staged
+    weights (``data/pretrained/inception/inception_v3.{npz,safetensors,pth}``)
+    — no torch/torchvision needed at run time. Converter parity vs a
+    state-dict-identical torch model is tested in tests/test_inception.py, so
+    staged real weights produce canonical FID numbers directly.
+    """
+
+    name = "fid_inception"
+
+    def __init__(self, params=None, model_dir: str = "data/pretrained"):
+        import jax
+        import jax.numpy as jnp
+
+        from stable_diffusion_pytorch_tpu.models.inception import (
+            InceptionV3Pool3,
+            load_inception_params,
+        )
+
+        if params is None:
+            params = load_inception_params(model_dir)
+        if params is None:
+            raise FileNotFoundError(
+                "no InceptionV3 weights staged: expected "
+                f"{model_dir}/inception/inception_v3.npz|.safetensors|.pth "
+                "(a torchvision inception_v3 state dict or pre-converted "
+                "Flax params)"
+            )
+        model = InceptionV3Pool3()
+
+        def _extract(params, img):
+            # [-1,1] NHWC -> 299x299 (bilinear, half-pixel centers == torch
+            # interpolate align_corners=False) -> pool3 features
+            img = jax.image.resize(
+                img, (img.shape[0], 299, 299, 3), method="bilinear"
+            )
+            return model.apply(params, img)
+
+        self._fn = jax.jit(_extract)
+        self._params = params
+        self._jnp = jnp
+
+    def __call__(self, images) -> np.ndarray:
+        return np.asarray(
+            self._fn(self._params, self._jnp.asarray(images, self._jnp.float32)),
+            np.float64,
+        )
+
+
 class InceptionFeatureExtractor:
     """Canonical InceptionV3 pool3 features via torchvision (local cache only)."""
 

@@ -18,7 +18,10 @@ into the same harness for the canonical number):
 Interpretation: fid(ref, compat) at or near the noise floor = numeric parity;
 fid(ref, default) larger = the (intentional) correct-math divergence.
 
-Prints ONE JSON line. Env: FID_N (64), FID_STEPS (10), FID_RES (32).
+Prints ONE JSON line. Env: FID_N (64), FID_STEPS (10), FID_RES (32),
+FID_EXTRACTOR (vae | inception — "inception" runs the CANONICAL InceptionV3
+pool3 metric through the native Flax tower; requires staged weights under
+data/pretrained/inception/, see models/inception.py:load_inception_params).
 """
 
 import json
@@ -190,8 +193,19 @@ def main() -> dict:
     compat_images, compat_latents = our_sample_set(compat=True, seed=42)
     default_images, default_latents = our_sample_set(compat=False, seed=42)
 
-    # image-space features through the shared VAE encoder (random projection)
-    extractor = VAEFeatureExtractor(our_vae, our_vae_params)
+    # image-space features: the canonical InceptionV3 pool3 tower when
+    # requested (and weights staged), else the VAE-encoder proxy
+    extractor_kind = os.environ.get("FID_EXTRACTOR", "vae")
+    if extractor_kind == "inception":
+        from stable_diffusion_pytorch_tpu.utils.fid import (
+            FlaxInceptionFeatureExtractor,
+        )
+
+        extractor = FlaxInceptionFeatureExtractor()  # raises if not staged
+        metric_name = "fid_inception"
+    else:
+        extractor = VAEFeatureExtractor(our_vae, our_vae_params)
+        metric_name = "fid_vae_proxy"
 
     # latent-space features: the sampler's raw output distribution — the most
     # discriminating view when weights are random (a random VAE decode
@@ -214,7 +228,7 @@ def main() -> dict:
         return round(x, 4) if np.isfinite(x) else None
 
     result = {
-        "metric": "fid_vae_proxy",
+        "metric": metric_name,
         "n_images": n_images,
         "steps": steps,
         "fid_ref_vs_ref": _finite(fid_between(extractor, ref_images, ref_images_b)),
