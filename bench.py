@@ -25,6 +25,19 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 A100_REF_IMAGES_PER_SEC = 0.52  # published A100 fp16 SD1.5 DDIM-50 throughput
+V5E_PEAK_BF16_TFLOPS = 197.0  # TPU v5e per-chip bf16 peak (public spec)
+
+
+def xla_flops(compiled) -> float:
+    """Total FLOPs of a compiled XLA executable per execution, from the
+    compiler's cost analysis (0.0 when the backend doesn't report it)."""
+    try:
+        costs = compiled.cost_analysis()
+        if isinstance(costs, (list, tuple)):  # some backends return [dict]
+            costs = costs[0]
+        return float(costs.get("flops", 0.0))
+    except Exception:
+        return 0.0
 
 
 def log(msg: str) -> None:
@@ -119,6 +132,12 @@ def main() -> None:
         unet_params, vae_params, x_T, ctx, uncond, key
     )
 
+    # roofline accounting: the compiler's own FLOP count for the pipeline
+    # (MFU = achieved TFLOP/s over the 197 TFLOP/s v5e bf16 peak)
+    log("lowering for cost analysis...")
+    pipeline_flops = xla_flops(jit_pipeline.lower(*args).compile())
+    log(f"XLA cost analysis: {pipeline_flops / 1e12:.2f} TFLOP per pipeline call")
+
     log("compiling + warmup run...")
     t0 = time.time()
     out, checksum = jit_pipeline(*args)
@@ -154,6 +173,11 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / A100_REF_IMAGES_PER_SEC, 4),
     }
+    if pipeline_flops > 0:
+        achieved = pipeline_flops / p50 / 1e12
+        result["tflops_per_sec"] = round(achieved, 2)
+        if backend == "tpu":
+            result["mfu_pct"] = round(100.0 * achieved / V5E_PEAK_BF16_TFLOPS, 2)
     print(json.dumps(result), flush=True)
 
 

@@ -90,6 +90,12 @@ def main():
     batch_dict = {"latents": latents, "input_ids": ids}
 
     log("compiling + warmup...")
+    from bench import xla_flops  # repo-root bench.py: cost-analysis helper
+
+    step_flops = xla_flops(
+        jit_step.lower(state, clip_params, None, batch_dict, uncond, key).compile()
+    )
+    log(f"XLA cost analysis: {step_flops / 1e12:.2f} TFLOP per train step")
     t0 = time.time()
     state, metrics = jit_step(state, clip_params, None, batch_dict, uncond, key)
     float(metrics["loss"])
@@ -108,17 +114,20 @@ def main():
 
     times.sort()
     p50 = times[len(times) // 2]
-    print(
-        json.dumps(
-            {
-                "metric": f"train_unet_{preset}_samples_per_sec_per_chip",
-                "value": round(batch / p50, 4),
-                "unit": "samples/sec/chip",
-                "step_ms_p50": round(p50 * 1e3, 2),
-            }
-        ),
-        flush=True,
-    )
+    out = {
+        "metric": f"train_unet_{preset}_samples_per_sec_per_chip",
+        "value": round(batch / p50, 4),
+        "unit": "samples/sec/chip",
+        "step_ms_p50": round(p50 * 1e3, 2),
+    }
+    if step_flops > 0:
+        from bench import V5E_PEAK_BF16_TFLOPS
+
+        achieved = step_flops / p50 / 1e12
+        out["tflops_per_sec"] = round(achieved, 2)
+        if jax.default_backend() == "tpu":
+            out["mfu_pct"] = round(100.0 * achieved / V5E_PEAK_BF16_TFLOPS, 2)
+    print(json.dumps(out), flush=True)
 
 
 if __name__ == "__main__":
