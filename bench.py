@@ -132,11 +132,43 @@ def main() -> None:
         unet_params, vae_params, x_T, ctx, uncond, key
     )
 
-    # roofline accounting: the compiler's own FLOP count for the pipeline
-    # (MFU = achieved TFLOP/s over the 197 TFLOP/s v5e bf16 peak)
-    log("lowering for cost analysis...")
-    pipeline_flops = xla_flops(jit_pipeline.lower(*args).compile())
-    log(f"XLA cost analysis: {pipeline_flops / 1e12:.2f} TFLOP per pipeline call")
+    # Roofline accounting (MFU = achieved TFLOP/s over the 197 TFLOP/s v5e
+    # bf16 peak). Two cost-analysis traps handled here: (1) XLA counts a
+    # lax.scan body ONCE, not x steps — so the single denoise step is lowered
+    # standalone and multiplied by the step count; (2) Pallas custom calls are
+    # opaque to cost analysis — the dispatch layer accumulates analytic
+    # QK^T/PV FLOPs for the flash path (ops/attention.py: flash_flops).
+    from stable_diffusion_pytorch_tpu.models.latent_diffusion import (
+        make_pred_noise_fn,
+    )
+    from stable_diffusion_pytorch_tpu.ops.attention import (
+        attention_stats,
+        reset_attention_stats,
+    )
+
+    log("lowering single denoise step + decode for cost analysis...")
+    denoise = make_pred_noise_fn(unet, guidance_scale=7.5)
+    reset_attention_stats()
+    step_xla = xla_flops(
+        jax.jit(denoise).lower(unet_params, x, t, ctx, ctx).compile()
+    )
+    step_flash = attention_stats()["flash_flops"]
+    decode_flops = 0.0
+    if not skip_decode:
+        reset_attention_stats()
+        decode_flops = xla_flops(
+            jax.jit(
+                lambda p, z: vae.apply(p, z, method=vae.decode)
+            ).lower(vae_params, x).compile()
+        ) + attention_stats()["flash_flops"]
+    pipeline_flops = steps * (step_xla + step_flash) + decode_flops
+    log(
+        f"cost analysis: step {(step_xla + step_flash) / 1e12:.3f} TFLOP "
+        f"(xla {step_xla / 1e12:.3f} + flash {step_flash / 1e12:.3f}), "
+        f"decode {decode_flops / 1e12:.3f} TFLOP, "
+        f"pipeline total {pipeline_flops / 1e12:.1f} TFLOP"
+    )
+    reset_attention_stats()  # the warmup assertion below counts afresh
 
     log("compiling + warmup run...")
     t0 = time.time()
@@ -176,6 +208,12 @@ def main() -> None:
     if pipeline_flops > 0:
         achieved = pipeline_flops / p50 / 1e12
         result["tflops_per_sec"] = round(achieved, 2)
+        result["flop_breakdown_tflop"] = {
+            "denoise_step_xla": round(step_xla / 1e12, 4),
+            "denoise_step_flash_attn": round(step_flash / 1e12, 4),
+            "steps": steps,
+            "vae_decode": round(decode_flops / 1e12, 4),
+        }
         if backend == "tpu":
             result["mfu_pct"] = round(100.0 * achieved / V5E_PEAK_BF16_TFLOPS, 2)
     print(json.dumps(result), flush=True)

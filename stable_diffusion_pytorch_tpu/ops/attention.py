@@ -29,7 +29,11 @@ _TP_MESH = None  # (mesh, data_axis, model_axis) when tensor parallelism is on
 # (once per jit compilation, not per executed step) — enough to assert which
 # path a compiled program took. ``fallback`` counts auto-mode Pallas failures
 # that silently degraded to XLA before round 3 made them loud.
-_STATS = {"flash": 0, "xla": 0, "fallback": 0}
+# ``flash_flops`` accumulates the ANALYTIC forward FLOPs (4*B*N*M*H*D per
+# call: QK^T + PV matmuls) of Pallas-path attention traced since the last
+# reset — XLA's cost analysis cannot see inside custom calls, so roofline
+# accounting (bench.py) adds this to the compiler's count.
+_STATS = {"flash": 0, "xla": 0, "fallback": 0, "flash_flops": 0}
 _FALLBACK_WARNED = False
 
 
@@ -162,9 +166,16 @@ def multi_head_attention(
                         check_rep=False,
                     )(q, k, v)
                     _STATS["flash"] += 1
+                    _STATS["flash_flops"] += (
+                        4 * q.shape[0] * q.shape[1] * k.shape[1]
+                        * q.shape[2] * q.shape[3]
+                    )
                     return out
             out = flash_attention(q, k, v, scale)
             _STATS["flash"] += 1
+            _STATS["flash_flops"] += (
+                4 * q.shape[0] * q.shape[1] * k.shape[1] * q.shape[2] * q.shape[3]
+            )
             return out
         except Exception as exc:
             if _IMPL == "pallas":

@@ -58,6 +58,18 @@ def maybe_initialize(
         f"jax.distributed initialized: process {jax.process_index()}/"
         f"{jax.process_count()}, {len(jax.local_devices())} local devices"
     )
+    try:
+        # Establish the cross-host collective fabric NOW, while all processes
+        # are still in lockstep. The first collective performs a context
+        # handshake with a short (~30s) key-exchange deadline; deferring it to
+        # after model compilation lets per-host compile skew blow that window
+        # (observed with Gloo on CPU; harmless everywhere).
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("sd_tpu_init_barrier")
+        logger.info("cross-host collective fabric warmed (init barrier passed)")
+    except Exception as e:  # pragma: no cover - diagnostic only
+        logger.warning(f"init barrier failed (continuing): {e}")
     return True
 
 

@@ -91,11 +91,25 @@ def main():
 
     log("compiling + warmup...")
     from bench import xla_flops  # repo-root bench.py: cost-analysis helper
+    from stable_diffusion_pytorch_tpu.ops.attention import (
+        attention_stats,
+        reset_attention_stats,
+    )
 
-    step_flops = xla_flops(
+    reset_attention_stats()
+    step_xla = xla_flops(
         jit_step.lower(state, clip_params, None, batch_dict, uncond, key).compile()
     )
-    log(f"XLA cost analysis: {step_flops / 1e12:.2f} TFLOP per train step")
+    # Pallas flash kernels are invisible to XLA cost analysis; the dispatcher
+    # records analytic FORWARD attention FLOPs at trace time, and the flash
+    # backward costs 2.5x the forward (5 matmul passes vs 2, FlashAttention
+    # accounting) -> total = 3.5x traced forward
+    step_flash = attention_stats()["flash_flops"] * 3.5
+    step_flops = step_xla + step_flash
+    log(
+        f"cost analysis: {step_flops / 1e12:.2f} TFLOP per train step "
+        f"(xla {step_xla / 1e12:.2f} + flash fwd+bwd {step_flash / 1e12:.2f})"
+    )
     t0 = time.time()
     state, metrics = jit_step(state, clip_params, None, batch_dict, uncond, key)
     float(metrics["loss"])
