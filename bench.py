@@ -205,7 +205,9 @@ def main() -> None:
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / A100_REF_IMAGES_PER_SEC, 4),
     }
-    if pipeline_flops > 0:
+    if pipeline_flops > 0 and deep_cache <= 1:
+        # DeepCache skips the UNet trunk on most steps, so steps*step_flops
+        # would overstate executed FLOPs — no MFU claim for the opt-in mode
         achieved = pipeline_flops / p50 / 1e12
         result["tflops_per_sec"] = round(achieved, 2)
         result["flop_breakdown_tflop"] = {

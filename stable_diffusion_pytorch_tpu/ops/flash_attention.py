@@ -191,9 +191,15 @@ def _flash_bwd(scale, interpret, res, do):
 
     # fused single-pass: scores recomputed once per q-tile for dq AND dk/dv.
     # block 112 measured best on v5e (26.1 samples/s vs 25.0 at 96; 128 OOMs
-    # the 16MB VMEM on SD's 4096-token self-attention)
+    # the 16MB VMEM on SD's 4096-token self-attention with f32 score temps).
+    # SD_FLASH_BWD_BF16=1 stores the softmax numerator tile in bf16 after the
+    # exact f32 row-sum, freeing VMEM for q-blocks at/above the 128-lane MXU
+    # tile (pair with SD_FLASH_BWD_BLOCK_N=128).
+    bf16_temps = os.environ.get("SD_FLASH_BWD_BF16", "0") == "1"
     block = int(os.environ.get("SD_FLASH_BWD_BLOCK_N", "112"))
-    return flash_attention_bwd_fused(q, k, v, do, scale, interpret, block_n=block)
+    return flash_attention_bwd_fused(
+        q, k, v, do, scale, interpret, block_n=block, bf16_temps=bf16_temps
+    )
 
 
 _flash_attention.defvjp(_flash_fwd, _flash_bwd)

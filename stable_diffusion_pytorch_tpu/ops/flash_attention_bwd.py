@@ -96,7 +96,7 @@ _LOG2E = 1.4426950408889634
 
 def _fused_bwd_kernel(
     q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc, *,
-    scale, kv_len,
+    scale, kv_len, bf16_temps=False,
 ):
     """One pass computes dq AND accumulates dk/dv: the score recompute
     (s matmul, softmax, dp matmul) happens once per q-tile instead of once per
@@ -106,6 +106,12 @@ def _fused_bwd_kernel(
     scale*log2(e) so the softmax is a bare exp2, and the 1/l normalization is
     folded into the small [Tn, D] operands (do/l, q/l) and the dq rows instead
     of touching [Tn, M] score tiles.
+
+    ``bf16_temps`` stores the [Tn, M] softmax numerator in bf16 after the f32
+    row-sum (normalization stays exact; p carries <=0.4%% relative rounding,
+    on par with the bf16 matmul inputs everywhere else in the model). This
+    drops one live f32 score tile from VMEM, buying a larger q-block — the
+    lever the f32 version lacks (block 128 overflows the 16MB scope).
     """
     i = pl.program_id(1)
     num_tiles = pl.num_programs(1)
@@ -129,7 +135,9 @@ def _fused_bwd_kernel(
         s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
     mx = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp2(s - mx)  # [Tn, M] f32; p = e / l
-    linv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # [Tn, 1]
+    linv = 1.0 / jnp.sum(e, axis=-1, keepdims=True)  # [Tn, 1] (f32-exact sum)
+    if bf16_temps:
+        e = e.astype(jnp.bfloat16)
 
     dp = jax.lax.dot_general(
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
@@ -171,6 +179,7 @@ def flash_attention_bwd_fused(
     scale: float,
     interpret: bool,
     block_n: int = 96,
+    bf16_temps: bool = False,
 ):
     """Fused single-pass backward: (dq, dk, dv) in the [B, L, H, D] layout."""
     b, n, h, d = q.shape
@@ -192,7 +201,9 @@ def flash_attention_bwd_fused(
     dob = to_bhnd(do, n, n_pad)
 
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_fused_bwd_kernel, scale=scale, kv_len=m),
+        functools.partial(
+            _fused_bwd_kernel, scale=scale, kv_len=m, bf16_temps=bf16_temps
+        ),
         grid=(b * h, n_pad // block_n),
         in_specs=[
             pl.BlockSpec((1, block_n, d_pad), lambda bh, i: (bh, i, 0)),

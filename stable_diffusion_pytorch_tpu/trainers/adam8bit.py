@@ -4,14 +4,20 @@ TPU-native analog of bitsandbytes ``AdamW8bit``, which the reference opts into
 via ``use_8bit_adam`` (/root/reference/train_unet.py:210-218). bitsandbytes
 uses a dynamic-exponent 8-bit code with a 256-entry dequant lookup table —
 fast on CUDA, but table gathers are slow on the TPU VPU. The TPU-idiomatic
-design used here is *linear blockwise absmax* quantization (pure vector math,
-fuses into the update):
+design used here is *blockwise absmax with a quadratic magnitude code*
+(pure vector math, fuses into the update):
 
-- first moment ``mu``: per-block absmax int8 (signed, symmetric);
-- second moment ``nu``: quantized in the **sqrt domain** (store
-  ``round(127 * sqrt(nu)/absmax(sqrt(nu)))``), which halves the dynamic range
-  in log terms — linear codes lose little precision there, and ``nu`` only
-  enters the update through ``sqrt(nu)`` anyway.
+    q = round(127 * sign(x) * sqrt(|x| / absmax_block))
+    x ~= sign(q) * (q/127)^2 * absmax_block
+
+The sqrt compression is the branchless stand-in for bitsandbytes' dynamic
+exponent: a value 1000x smaller than its block's outlier still lands on code
+~4 instead of rounding to 0 under a linear code, so Adam history for
+small-magnitude parameters sharing a block with an outlier is preserved
+(top-of-range spacing worsens to ~1.6% of absmax, which Adam tolerates).
+The second moment ``nu`` is additionally stored in the **sqrt domain**
+(``sqrt(nu)`` is what the update consumes), compounding to a quartic-root
+code for nu's full dynamic range.
 
 Memory per parameter: 2 x (8 bits + 32/block_size bits of scale) ≈ 16.25 bits
 of optimizer state vs 64 bits for f32 Adam — a ~4x reduction, the real
@@ -33,10 +39,11 @@ import optax
 
 
 class _QTensor(NamedTuple):
-    """Blockwise-quantized tensor: int8 codes + f32 per-block scales.
+    """Blockwise-quantized tensor: int8 codes + f32 per-block absmax.
 
-    ``q`` is [n_blocks, block_size] (zero-padded tail), ``scale`` is
-    [n_blocks, 1]; dequantized value i = q[i] * scale[block(i)].
+    ``q`` is [n_blocks, block_size] (zero-padded tail), ``scale`` holds each
+    block's absmax [n_blocks, 1]; dequantized value i =
+    sign(q[i]) * (|q[i]|/127)^2 * scale[block(i)] (quadratic magnitude code).
     """
 
     q: jnp.ndarray
@@ -52,13 +59,17 @@ def _quantize(x: jnp.ndarray, block: int) -> _QTensor:
     pad = _pad_len(flat.shape[0], block) - flat.shape[0]
     xb = jnp.pad(flat, (0, pad)).reshape(-1, block)
     absmax = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
-    scale = jnp.where(absmax > 0, absmax / 127.0, jnp.float32(1.0))
-    q = jnp.clip(jnp.round(xb / scale), -127, 127).astype(jnp.int8)
-    return _QTensor(q=q, scale=scale.astype(jnp.float32))
+    safe = jnp.where(absmax > 0, absmax, jnp.float32(1.0))
+    y = xb / safe  # in [-1, 1]
+    q = jnp.clip(
+        jnp.round(127.0 * jnp.sign(y) * jnp.sqrt(jnp.abs(y))), -127, 127
+    ).astype(jnp.int8)
+    return _QTensor(q=q, scale=absmax.astype(jnp.float32))
 
 
 def _dequantize(qt: _QTensor, shape, dtype=jnp.float32) -> jnp.ndarray:
-    flat = (qt.q.astype(jnp.float32) * qt.scale).reshape(-1)
+    qf = qt.q.astype(jnp.float32) * (1.0 / 127.0)
+    flat = (jnp.sign(qf) * qf * qf * qt.scale).reshape(-1)
     n = 1
     for d in shape:
         n *= d

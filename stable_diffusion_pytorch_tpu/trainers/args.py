@@ -240,9 +240,19 @@ class OptimConfig(BaseConfig):
     use_8bit_adam: bool = field(
         default=False,
         metadata={
-            "help": "CLI parity with the reference's bitsandbytes flag "
-            "(CUDA-only); on TPU it maps to the closest analog, "
-            "--adam-mu-dtype bf16 (half-precision first moment)."
+            "help": "true 8-bit optimizer state: int8 block-quantized Adam "
+            "moments (trainers/adam8bit.py), the TPU-native analog of the "
+            "reference's bitsandbytes AdamW8bit — ~4x less optimizer HBM "
+            "(measured 1.75GB vs 6.88GB on the SD-1.5 UNet)."
+        },
+    )
+    no_fused_adamw: bool = field(
+        default=False,
+        metadata={
+            "help": "disable the default single-pass fused AdamW (clip + "
+            "moments + bias correction + decay + apply in one HBM pass per "
+            "leaf) and use the optax chain instead — e.g. to resume a "
+            "checkpoint saved with the optax opt_state layout."
         },
     )
     adam_mu_dtype: str = field(

@@ -75,6 +75,16 @@ def _ema_decay_at(step, ema_decay: float, accum: int):
     return jnp.where(sync, jnp.float32(ema_decay), jnp.float32(1.0))
 
 
+def _optimizer_step(tx, grads, opt_state, params):
+    """One optimizer application. Fused transforms (trainers/fused_adamw.py)
+    expose ``apply`` producing new params directly — one HBM pass per leaf;
+    plain optax transforms go through update + apply_updates."""
+    if hasattr(tx, "apply"):
+        return tx.apply(grads, opt_state, params)
+    updates, new_opt_state = tx.update(grads, opt_state, params)
+    return optax.apply_updates(params, updates), new_opt_state
+
+
 def _gns_grads(grad_fn, batch, key):
     """Half-batch gradient split for the gradient-noise-scale estimator
     (McCandlish et al. 2018, "An Empirical Model of Large-Batch Training").
@@ -314,8 +324,9 @@ def make_unet_train_step(
                 state.params, clip_params, vae_params, batch, uncond_ids, key
             )
             extras = {}
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt_state = _optimizer_step(
+            tx, grads, state.opt_state, state.params
+        )
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **extras}
         return (
             TrainState(
@@ -390,8 +401,9 @@ def make_textual_inversion_train_step(
         loss, grads = jax.value_and_grad(loss_fn)(
             state.params, unet_params, clip_params, vae_params, batch, key
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt_state = _optimizer_step(
+            tx, grads, state.opt_state, state.params
+        )
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
         return (
             TrainState(
@@ -479,8 +491,9 @@ def make_controlnet_train_step(
             state.params, unet_params, clip_params, vae_params, batch,
             uncond_ids, key,
         )
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt_state = _optimizer_step(
+            tx, grads, state.opt_state, state.params
+        )
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads)}
         return (
             TrainState(
@@ -564,8 +577,9 @@ def make_vae_train_step(
                 state.params, batch, key
             )
             extras = {}
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        new_params, new_opt_state = _optimizer_step(
+            tx, grads, state.opt_state, state.params
+        )
         metrics = {"loss": loss, "grad_norm": optax.global_norm(grads), **parts, **extras}
         return (
             TrainState(

@@ -679,7 +679,9 @@ class DataLoader:
         self.num_shards = num_shards
         self.collate = collate or collate_fn
         self.num_workers = num_workers
-        self.prefetch = max(2, prefetch)
+        if prefetch < 1:
+            raise ValueError(f"prefetch must be >= 1, got {prefetch}")
+        self.prefetch = prefetch
         self.epoch = 0
 
     def set_epoch(self, epoch: int) -> None:
@@ -740,8 +742,10 @@ class DataLoader:
                         if stop.is_set():
                             return
                         rows = list(ex.map(lambda i: self.dataset[int(i)], bidx))
-                        if not rows or not _put(("batch", self.collate(rows))):
-                            return
+                        if not rows:
+                            break  # clean stop, same as the sync path
+                        if not _put(("batch", self.collate(rows))):
+                            return  # consumer abandoned us
                 _put(("done", None))
             except BaseException as exc:  # surface worker errors to the consumer
                 _put(("error", exc))

@@ -121,9 +121,13 @@ class FlaxInceptionFeatureExtractor:
 
         def _extract(params, img):
             # [-1,1] NHWC -> 299x299 (bilinear, half-pixel centers == torch
-            # interpolate align_corners=False) -> pool3 features
+            # interpolate align_corners=False) -> pool3 features.
+            # antialias=False: torch's F.interpolate does NOT antialias, and
+            # jax.image.resize defaults to antialias=True on downscale — the
+            # features would silently diverge for >299px inputs otherwise.
             img = jax.image.resize(
-                img, (img.shape[0], 299, 299, 3), method="bilinear"
+                img, (img.shape[0], 299, 299, 3), method="bilinear",
+                antialias=False,
             )
             return model.apply(params, img)
 

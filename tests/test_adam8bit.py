@@ -9,6 +9,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
+import pytest
 
 from stable_diffusion_pytorch_tpu.trainers.adam8bit import (
     _dequantize,
@@ -25,9 +26,22 @@ def test_quantize_roundtrip_error_bounded():
     qt = _quantize(x, 256)
     assert qt.q.dtype == jnp.int8
     back = _dequantize(qt, x.shape)
-    # linear absmax int8: error <= absmax/254 per block
+    # quadratic code: worst-case spacing ~2*absmax/127 at the top of range
     max_err = float(jnp.max(jnp.abs(back - x)))
-    assert max_err <= float(jnp.max(jnp.abs(x))) / 254 + 1e-6
+    assert max_err <= float(jnp.max(jnp.abs(x))) * (2.1 / 127) + 1e-6
+
+
+def test_quantize_preserves_small_values_next_to_outliers():
+    """The bitsandbytes dynamic-range scenario: a block holding one ~0.1
+    outlier and many ~1e-4 moments. A linear absmax code rounds the small
+    ones to 0 (erasing Adam history every step); the quadratic code must
+    keep them within ~35% relative error."""
+    x = np.full((256,), 1e-4, np.float32)
+    x[0] = 0.1
+    back = np.asarray(_dequantize(_quantize(jnp.asarray(x), 256), x.shape))
+    assert back[0] == pytest.approx(0.1, rel=0.02)
+    assert np.all(back[1:] > 0), "small moments must not collapse to zero"
+    np.testing.assert_allclose(back[1:], 1e-4, rtol=0.35)
 
 
 def test_quantize_handles_zeros_and_odd_shapes():

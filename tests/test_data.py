@@ -273,3 +273,37 @@ def test_async_loader_abandoned_iterator_shuts_down():
         time.sleep(0.1)
         deadline -= 1
     assert deadline > 0, "prefetch producer thread leaked after abandonment"
+
+
+def test_async_loader_rejects_invalid_prefetch():
+    cfg = DatasetConfig(dataset="synthetic", resolution=16)
+    ds = SyntheticTextImageDataset(cfg, "train", HashTokenizer(), num_rows=8)
+    with pytest.raises(ValueError, match="prefetch"):
+        DataLoader(ds, batch_size=2, num_workers=1, prefetch=0)
+
+
+def test_async_loader_empty_batch_terminates_cleanly():
+    """A batch that yields no rows must end iteration (sync semantics), not
+    hang the consumer waiting on a sentinel that never arrives."""
+
+    class Shrinking:
+        """Lies about its length: claims 8 rows but batches beyond index 3
+        come back empty (len/shard edge-case stand-in)."""
+
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, idx):
+            if idx >= 4:
+                raise IndexError(idx)
+            return {
+                "pixel_values": np.zeros((4, 4, 3), np.float32),
+                "input_ids": np.zeros((77,), np.int32),
+            }
+
+    # monkey-free variant: patch _batch_indices to emit an empty slice
+    dl = DataLoader(Shrinking(), batch_size=2, num_workers=2)
+    batches = dl._batch_indices()
+    batches[2] = batches[2][:0]  # empty middle batch
+    out = list(dl._iter_async(batches[:3]))
+    assert len(out) == 2  # stopped at the empty batch, no hang

@@ -68,3 +68,35 @@ def test_end_to_end_custom_vjp_uses_pallas_bwd(monkeypatch):
     gx = jax.grad(loss_xla, argnums=(0, 1, 2))(q, k, v)
     for a, b in zip(gf, gx):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-4)
+
+
+@pytest.mark.parametrize(
+    "n,m,h,d",
+    [
+        (64, 64, 2, 32),
+        (128, 77, 2, 40),
+    ],
+)
+def test_fused_bwd_bf16_temps_close_to_xla_grads(n, m, h, d):
+    """bf16 softmax-numerator variant (SD_FLASH_BWD_BF16=1): p carries bf16
+    rounding (~4e-3 relative), so tolerances widen accordingly — the point is
+    no structural error, not bitwise parity with the f32-temps kernel."""
+    ks = jax.random.split(KEY, 4)
+    q = jax.random.normal(ks[0], (2, n, h, d))
+    k = jax.random.normal(ks[1], (2, m, h, d))
+    v = jax.random.normal(ks[2], (2, m, h, d))
+    do = jax.random.normal(ks[3], (2, n, h, d))
+    scale = 1.0 / np.sqrt(d)
+
+    dq, dk, dv = flash_attention_bwd_fused(
+        q, k, v, do, scale, interpret=True, block_n=32, bf16_temps=True
+    )
+
+    def loss(q, k, v):
+        return jnp.sum(xla_attention(q, k, v, scale) * do)
+
+    eq, ek, ev = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+    for got, want in ((dq, eq), (dk, ek), (dv, ev)):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=2e-2, atol=2e-2
+        )

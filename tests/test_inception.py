@@ -290,3 +290,28 @@ def test_convert_tool_npz_roundtrip(torch_model, tmp_path, monkeypatch):
     assert len(la) == len(lb)
     for a, b in zip(la, lb):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_extractor_resize_matches_torch_interpolate(torch_model, tmp_path):
+    """>299px inputs exercise DOWNSCALING, where jax.image.resize's default
+    antialias=True silently diverges from torch F.interpolate (canonical FID
+    protocol). The extractor must pass antialias=False."""
+    from stable_diffusion_pytorch_tpu.utils import fid as fid_lib
+
+    root = tmp_path / "pretrained" / "inception"
+    root.mkdir(parents=True)
+    torch.save(torch_model.state_dict(), root / "inception_v3.pth")
+    ex = fid_lib.FlaxInceptionFeatureExtractor(model_dir=str(tmp_path / "pretrained"))
+
+    rng = np.random.default_rng(5)
+    imgs = rng.uniform(-1, 1, (2, 512, 512, 3)).astype(np.float32)
+    ours = ex(imgs)
+
+    with torch.no_grad():
+        t = torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)))
+        t = torch.nn.functional.interpolate(
+            t, size=(299, 299), mode="bilinear", align_corners=False
+        )
+        ref = torch_model(t).numpy()
+    scale = max(float(np.abs(ref).max()), 1.0)
+    np.testing.assert_allclose(ours / scale, ref / scale, rtol=3e-3, atol=3e-3)

@@ -387,30 +387,54 @@ def test_noise_offset_and_input_perturbation_reach_the_loss():
     assert loss_echo(input_perturbation=0.5) != loss_echo()
 
 
-def test_adam_mu_dtype_bf16():
-    """--adam-mu-dtype bf16 (and the --use-8bit-adam parity alias) store the
-    first moment in bfloat16; updates still apply and the variance stays f32."""
-    import optax
-
+def test_optimizer_state_dtypes_per_config():
+    """Optimizer-state storage per config: the default fused AdamW keeps
+    f32 moments, --adam-mu-dtype bf16 narrows the first moment (variance
+    stays f32), --use-8bit-adam stores int8 block-quantized codes, and
+    --no-fused-adamw falls back to the optax chain layout."""
+    from stable_diffusion_pytorch_tpu.trainers.adam8bit import _QTensor
     from stable_diffusion_pytorch_tpu.trainers.args import OptimConfig
+    from stable_diffusion_pytorch_tpu.trainers.fused_adamw import FusedAdamWState
     from stable_diffusion_pytorch_tpu.trainers.optim import build_optimizer
+    from stable_diffusion_pytorch_tpu.trainers.steps import _optimizer_step
 
     params = {"w": jnp.ones((8, 8), jnp.float32)}
     grads = {"w": jnp.full((8, 8), 0.5, jnp.float32)}
 
-    def mu_nu(tx):
+    def run(cfg):
+        tx = build_optimizer(cfg, max_train_steps=10)
         state = tx.init(params)
-        u, state2 = tx.update(grads, state, params)
-        adam_state = state2[1][0]  # chain(clip, adamw) -> adamw ScaleByAdamState
-        return adam_state.mu["w"].dtype, adam_state.nu["w"].dtype, u
+        new_params, state2 = _optimizer_step(tx, grads, state, params)
+        moved = float(jnp.abs(new_params["w"] - params["w"]).max()) > 0.0
+        return tx, state2, moved
 
-    for cfg in [
-        OptimConfig(adam_mu_dtype="bf16", scheduler_type="constant"),
-        OptimConfig(use_8bit_adam=True, scheduler_type="constant"),
-    ]:
-        mu_dt, nu_dt, u = mu_nu(build_optimizer(cfg, max_train_steps=10))
-        assert mu_dt == jnp.bfloat16, mu_dt
-        assert nu_dt == jnp.float32, nu_dt
-        assert float(jnp.abs(u["w"]).max()) > 0.0
-    mu_dt, nu_dt, _ = mu_nu(build_optimizer(OptimConfig(), max_train_steps=10))
-    assert mu_dt == jnp.float32
+    # default: fused, f32 moments
+    tx, s2, moved = run(OptimConfig(scheduler_type="constant"))
+    assert isinstance(s2, FusedAdamWState)
+    assert s2.mu["w"].dtype == jnp.float32 and s2.nu["w"].dtype == jnp.float32
+    assert moved
+
+    # bf16 first moment, f32 variance
+    _, s2, moved = run(
+        OptimConfig(adam_mu_dtype="bf16", scheduler_type="constant")
+    )
+    assert s2.mu["w"].dtype == jnp.bfloat16 and s2.nu["w"].dtype == jnp.float32
+    assert moved
+
+    # true 8-bit: int8 block-quantized codes + f32 per-block scales
+    _, s2, moved = run(
+        OptimConfig(use_8bit_adam=True, scheduler_type="constant")
+    )
+    adam_state = s2[1][0]  # chain(clip, adamw_8bit) -> ScaleByAdam8bitState
+    assert isinstance(adam_state.mu["w"], _QTensor)
+    assert adam_state.mu["w"].q.dtype == jnp.int8
+    assert adam_state.mu["w"].scale.dtype == jnp.float32
+    assert moved
+
+    # optax fallback keeps the chain(clip, adamw) state layout
+    tx, s2, moved = run(
+        OptimConfig(no_fused_adamw=True, scheduler_type="constant")
+    )
+    assert not hasattr(tx, "apply")
+    assert s2[1][0].mu["w"].dtype == jnp.float32
+    assert moved

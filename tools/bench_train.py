@@ -7,7 +7,8 @@ the Pallas flash fwd+bwd kernels + AdamW) from cached latents at 512x512-scale
 line like bench.py.
 
 Env: TB_BATCH (8), TB_REPEATS (5), TB_REMAT (0), TB_PRESET (sd15|reference),
-TB_MU_DTYPE (f32|bf16) to A/B the AdamW first-moment dtype (HBM-traffic lever).
+TB_MU_DTYPE (f32|bf16) to A/B the AdamW first-moment dtype (HBM-traffic lever),
+TB_OPT (fused [default, matches the trainer] | optax | 8bit).
 """
 
 import json
@@ -88,10 +89,20 @@ def main():
         tx = optax.chain(
             optax.clip_by_global_norm(1.0), adamw_8bit(1e-5)
         )
-    else:
+    elif os.environ.get("TB_OPT") == "optax":
+        # the --no-fused-adamw path (pre-round-3 default), kept for A/B
         tx = optax.chain(
             optax.clip_by_global_norm(1.0),
             optax.adamw(1e-5, mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None),
+        )
+    else:
+        # trainer default: single-HBM-pass fused clip+AdamW
+        from stable_diffusion_pytorch_tpu.trainers.fused_adamw import fused_adamw
+
+        tx = fused_adamw(
+            1e-5,
+            max_grad_norm=1.0,
+            mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None,
         )
     train_step, _ = make_unet_train_step(unet, clip, None, schedule, tx)
     jit_step = jax.jit(train_step, donate_argnums=(0,))

@@ -114,31 +114,48 @@ def main():
 
     # (c) AdamW update alone: donate + chain the state like the real trainer
     # (params 3.4GB + mu/nu 6.8GB + zero grads 3.4GB resident; donation keeps
-    # the new state in-place instead of doubling it)
-    state = TrainState.create(unet_params, tx)
+    # the new state in-place instead of doubling it). A/B: the optax chain
+    # (clip -> adamw -> apply_updates, the --no-fused-adamw path) vs the fused
+    # single-HBM-pass transform (default, trainers/fused_adamw.py).
+    from stable_diffusion_pytorch_tpu.trainers.fused_adamw import fused_adamw
+    from stable_diffusion_pytorch_tpu.trainers.steps import _optimizer_step
+
     grads = jax.tree_util.tree_map(jnp.zeros_like, unet_params)
+    variants = {
+        "optax chain (clip+adamw+apply, donated)": optax.chain(
+            optax.clip_by_global_norm(0.1), tx
+        ),
+        "fused single-pass (donated)": fused_adamw(
+            1e-4,
+            weight_decay=1e-2,
+            max_grad_norm=0.1,
+            mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None,
+        ),
+    }
+    for name, vtx in variants.items():
+        state = TrainState.create(unet_params, vtx)
 
-    def adam_only(s, g):
-        updates, new_opt = tx.update(g, s.opt_state, s.params)
-        new_params = optax.apply_updates(s.params, updates)
-        probe = jnp.sum(
-            jax.tree_util.tree_leaves(updates)[0].astype(jnp.float32)
-        )
-        return TrainState(
-            step=s.step + 1, params=new_params, opt_state=new_opt,
-            ema_params=None,
-        ), probe
+        def adam_only(s, g, vtx=vtx):
+            new_params, new_opt = _optimizer_step(vtx, g, s.opt_state, s.params)
+            probe = jnp.sum(
+                jax.tree_util.tree_leaves(new_params)[0].astype(jnp.float32)
+            )
+            return TrainState(
+                step=s.step + 1, params=new_params, opt_state=new_opt,
+                ema_params=None,
+            ), probe
 
-    jit_adam = jax.jit(adam_only, donate_argnums=(0,))
-    state, probe = jit_adam(state, grads)  # compile + warmup
-    float(probe)
-    times = []
-    for _ in range(4):
-        t0 = time.perf_counter()
-        state, probe = jit_adam(state, grads)
+        jit_adam = jax.jit(adam_only, donate_argnums=(0,))
+        state, probe = jit_adam(state, grads)  # compile + warmup
         float(probe)
-        times.append(time.perf_counter() - t0)
-    print(f"{'adamw update alone (donated)':44s} {min(times) * 1e3:9.2f} ms", flush=True)
+        times = []
+        for _ in range(4):
+            t0 = time.perf_counter()
+            state, probe = jit_adam(state, grads)
+            float(probe)
+            times.append(time.perf_counter() - t0)
+        print(f"{name:44s} {min(times) * 1e3:9.2f} ms", flush=True)
+        del state, jit_adam
     log("full train step: see tools/bench_train.py (donated, chained)")
 
 
