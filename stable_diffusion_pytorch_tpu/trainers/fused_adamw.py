@@ -5,15 +5,22 @@ optax-like stage (clip, moment updates, bias correction, weight decay, apply —
 torch.optim.AdamW internals, driven from /root/reference/train_unet.py:208-236).
 On TPU the optimizer phase is pure HBM streaming (~0 FLOP): the SD-1.5 update
 must read (grads, params, mu, nu) and write (params, mu, nu) — about 24 GB at
-f32 on 860M params, i.e. ~29 ms at the v5e's HBM bandwidth. The measured optax
-chain (`clip_by_global_norm` -> `adamw` -> `apply_updates`) costs 79.5 ms: the
-stage boundaries materialize intermediate trees (clipped grads, mu_hat/nu_hat,
-updates) that XLA does not fuse away across the chain.
+f32 on 860M params, i.e. ~29 ms at the v5e's HBM bandwidth.
 
 This module computes the ENTIRE update as one expression per parameter leaf —
 new_params, new_mu, new_nu from (g, p, mu, nu) and two scalars (clip scale,
 learning rate) — so XLA emits a single multi-output elementwise loop per leaf:
 every tensor is read once and written once, which is the roofline.
+
+Measured on v5e (tools/adam_probe.py, dispatch-constant excluded via k-chained
+applies in one program): 40.4 ms per apply on the SD-1.5-shaped tree =
+596 GB/s effective (~73%% of the 819 GB/s HBM peak; a single flat 860M leaf
+reaches 670 GB/s, so per-leaf overhead is only ~4.5 ms). The optax chain
+measures the SAME inside a full train step — XLA already fuses it well — so
+the fused transform's measured value is NOT the sync-step update itself but:
+(a) ``fused_accumulate`` skipping the params-wide zero-update stream that
+``optax.MultiSteps`` + ``apply_updates`` performs on every non-sync micro
+step, and (b) one fewer donated tree alias (updates) in the step program.
 
 Two APIs:
 
@@ -162,16 +169,27 @@ class FusedAccumTransformation(NamedTuple):
     apply: Callable
 
 
-def fused_accumulate(tx: FusedTransformation, every_k: int) -> FusedAccumTransformation:
+def fused_accumulate(
+    tx: FusedTransformation,
+    every_k: int,
+    acc_dtype: Optional[Any] = None,
+) -> FusedAccumTransformation:
     """optax.MultiSteps semantics (mean of the k micro-grads, inner update on
     the k-th) around a FusedTransformation, without streaming a zero-update
-    through the params on non-sync micro steps."""
+    through the params on non-sync micro steps.
+
+    ``acc_dtype`` stores the gradient accumulator in a narrower dtype
+    (accumulation math stays f32; each store rounds). Measured necessity: at
+    SD-1.5 512-scale the f32 accumulator (3.44GB) pushes params+acc+mu+nu to
+    13.8GB and accumulation OOMs the 15.75GB HBM even at batch 2 — bf16
+    (1.72GB) is the lever that makes `--gradient-accumulation-steps` fit.
+    """
     if every_k <= 1:
         raise ValueError("fused_accumulate requires every_k > 1")
 
     def init_fn(params):
         acc = jax.tree_util.tree_map(
-            lambda p: jnp.zeros(p.shape, jnp.float32), params
+            lambda p: jnp.zeros(p.shape, acc_dtype or jnp.float32), params
         )
         return FusedAccumState(
             mini_step=jnp.zeros([], jnp.int32), acc=acc, inner=tx.init(params)
@@ -181,7 +199,10 @@ def fused_accumulate(tx: FusedTransformation, every_k: int) -> FusedAccumTransfo
         # running mean: acc += (g - acc) / (i + 1)  (MultiSteps' formula)
         i = state.mini_step.astype(jnp.float32)
         return jax.tree_util.tree_map(
-            lambda a, g: a + (g.astype(jnp.float32) - a) / (i + 1.0),
+            lambda a, g: (
+                a.astype(jnp.float32)
+                + (g.astype(jnp.float32) - a.astype(jnp.float32)) / (i + 1.0)
+            ).astype(a.dtype),
             state.acc,
             grads,
         )

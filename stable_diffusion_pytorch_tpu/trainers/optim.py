@@ -19,6 +19,7 @@ Semantics notes:
 
 from __future__ import annotations
 
+import jax.numpy as jnp
 import optax
 
 
@@ -80,8 +81,11 @@ def build_optimizer(
     use_bf16_mu = getattr(optim_cfg, "adam_mu_dtype", "f32") == "bf16"
     if not getattr(optim_cfg, "no_fused_adamw", False):
         # default: single-HBM-pass fused clip+AdamW (trainers/fused_adamw.py);
-        # bit-identical f32 math to the optax chain below, ~2x faster optimizer
-        # phase on the SD-1.5 tree (79.5 -> ~30ms measured on v5e)
+        # bit-identical f32 math to the optax chain below. Sync-step speed is
+        # a wash (XLA fuses the chain too; both ~40ms at ~600GB/s on the
+        # SD-1.5 tree), but under gradient accumulation the fused wrapper
+        # skips MultiSteps' params-wide zero-update stream on non-sync
+        # micro steps
         from stable_diffusion_pytorch_tpu.trainers.fused_adamw import (
             fused_accumulate,
             fused_adamw,
@@ -97,7 +101,12 @@ def build_optimizer(
             mu_dtype="bfloat16" if use_bf16_mu else None,
         )
         if gradient_accumulation_steps > 1:
-            return fused_accumulate(ftx, gradient_accumulation_steps)
+            acc_bf16 = getattr(optim_cfg, "accum_dtype", "f32") == "bf16"
+            return fused_accumulate(
+                ftx,
+                gradient_accumulation_steps,
+                acc_dtype=jnp.bfloat16 if acc_bf16 else None,
+            )
         return ftx
     tx = optax.chain(
         optax.clip_by_global_norm(optim_cfg.max_grad_norm),

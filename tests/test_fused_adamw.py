@@ -188,6 +188,56 @@ def test_accumulate_under_jit():
     assert moved
 
 
+def test_accumulate_bf16_accumulator():
+    """--accum-dtype bf16: accumulator stored bf16 (the SD-1.5 memory lever),
+    trajectory stays close to the f32 accumulator (store-rounding only)."""
+    k = 4
+    fx32 = fused_accumulate(fused_adamw(1e-3, max_grad_norm=1.0), every_k=k)
+    fx16 = fused_accumulate(
+        fused_adamw(1e-3, max_grad_norm=1.0), every_k=k, acc_dtype=jnp.bfloat16
+    )
+    p32 = _tree(2)
+    p16 = jax.tree_util.tree_map(jnp.copy, p32)
+    s32, s16 = fx32.init(p32), fx16.init(p16)
+    assert all(
+        a.dtype == jnp.bfloat16 for a in jax.tree_util.tree_leaves(s16.acc)
+    )
+    for g in _grads_seq(2 * k, seed=21):
+        p32, s32 = fx32.apply(g, s32, p32)
+        p16, s16 = fx16.apply(g, s16, p16)
+    assert all(
+        a.dtype == jnp.bfloat16 for a in jax.tree_util.tree_leaves(s16.acc)
+    )
+    # 2 sync updates with lr 1e-3: params moved ~2e-3; bf16 accumulation
+    # rounds at ~0.4% relative, so the param delta agrees to ~1e-5
+    _assert_trees_close(p32, p16, rtol=2e-4, atol=5e-5)
+    moved = jax.tree_util.tree_map(
+        lambda a, b: float(jnp.abs(a - b).max()) > 0, p32, _tree(2)
+    )
+    assert any(jax.tree_util.tree_leaves(moved))
+
+
+def test_build_optimizer_accum_dtype_wiring():
+    from types import SimpleNamespace
+
+    from stable_diffusion_pytorch_tpu.trainers.optim import build_optimizer
+
+    cfg = SimpleNamespace(
+        learning_rate=1e-4,
+        adam_weight_decay=0.1,
+        max_grad_norm=0.1,
+        scheduler_type="constant",
+        lr_warmup_steps=0,
+        use_8bit_adam=False,
+        adam_mu_dtype="f32",
+        no_fused_adamw=False,
+        accum_dtype="bf16",
+    )
+    tx = build_optimizer(cfg, 100, gradient_accumulation_steps=4)
+    s = tx.init({"w": jnp.ones((4, 4), jnp.float32)})
+    assert s.acc["w"].dtype == jnp.bfloat16
+
+
 def test_build_optimizer_selects_fused_by_default():
     from types import SimpleNamespace
 

@@ -8,7 +8,11 @@ line like bench.py.
 
 Env: TB_BATCH (8), TB_REPEATS (5), TB_REMAT (0), TB_PRESET (sd15|reference),
 TB_MU_DTYPE (f32|bf16) to A/B the AdamW first-moment dtype (HBM-traffic lever),
-TB_OPT (fused [default, matches the trainer] | optax | 8bit).
+TB_OPT (fused [default, matches the trainer] | optax | 8bit),
+TB_ACCUM (1; >1 wraps the optimizer in gradient accumulation — fused ->
+fused_accumulate, optax/8bit -> optax.MultiSteps — and times micro steps;
+the trainer's default is 4, where MultiSteps streams a zero update through
+all params on every non-sync micro step and the fused wrapper does not).
 """
 
 import json
@@ -104,6 +108,22 @@ def main():
             max_grad_norm=1.0,
             mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None,
         )
+    accum = int(os.environ.get("TB_ACCUM", "1"))
+    if accum > 1:
+        if hasattr(tx, "apply"):
+            from stable_diffusion_pytorch_tpu.trainers.fused_adamw import (
+                fused_accumulate,
+            )
+
+            acc_dt = (
+                jnp.bfloat16
+                if os.environ.get("TB_ACCUM_DTYPE", "f32") == "bf16"
+                else None
+            )
+            tx = fused_accumulate(tx, accum, acc_dtype=acc_dt)
+        else:
+            tx = optax.MultiSteps(tx, every_k_schedule=accum)
+        repeats = max(repeats, 2 * accum + 1)
     train_step, _ = make_unet_train_step(unet, clip, None, schedule, tx)
     jit_step = jax.jit(train_step, donate_argnums=(0,))
     state = TrainState.create(unet_params, tx)
@@ -146,14 +166,24 @@ def main():
         times.append(dt)
         log(f"step {i}: {dt * 1e3:.1f} ms -> {batch / dt:.2f} samples/sec")
 
-    times.sort()
-    p50 = times[len(times) // 2]
+    if accum > 1:
+        # micro-step mix: average over the last full accumulation windows so
+        # sync and non-sync steps are weighted k-1 : 1 as in real training
+        window = times[-(2 * accum):]
+        p50 = sum(window) / len(window)
+    else:
+        times.sort()
+        p50 = times[len(times) // 2]
     out = {
         "metric": f"train_unet_{preset}_samples_per_sec_per_chip",
         "value": round(batch / p50, 4),
         "unit": "samples/sec/chip",
         "step_ms_p50": round(p50 * 1e3, 2),
     }
+    if accum > 1:
+        out["metric"] += f"_accum{accum}"
+        out["step_ms_p50"] = None
+        out["micro_step_ms_mean"] = round(p50 * 1e3, 2)
     if step_flops > 0:
         from bench import V5E_PEAK_BF16_TFLOPS
 

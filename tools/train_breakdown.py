@@ -120,7 +120,17 @@ def main():
     from stable_diffusion_pytorch_tpu.trainers.fused_adamw import fused_adamw
     from stable_diffusion_pytorch_tpu.trainers.steps import _optimizer_step
 
-    grads = jax.tree_util.tree_map(jnp.zeros_like, unet_params)
+    param_shapes = jax.tree_util.tree_map(
+        lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype), unet_params
+    )
+
+    def fresh_zeros():
+        return jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), param_shapes
+        )
+
+    grads = fresh_zeros()
+    del unet_params  # variant 1's donation would invalidate it anyway
     variants = {
         "optax chain (clip+adamw+apply, donated)": optax.chain(
             optax.clip_by_global_norm(0.1), tx
@@ -133,7 +143,9 @@ def main():
         ),
     }
     for name, vtx in variants.items():
-        state = TrainState.create(unet_params, vtx)
+        # fresh zero params per variant: the donated first call consumes the
+        # state's param buffers, so they cannot be shared across variants
+        state = TrainState.create(fresh_zeros(), vtx)
 
         def adam_only(s, g, vtx=vtx):
             new_params, new_opt = _optimizer_step(vtx, g, s.opt_state, s.params)
