@@ -194,7 +194,10 @@ def _flash_bwd(scale, interpret, res, do):
     # the 16MB VMEM on SD's 4096-token self-attention with f32 score temps).
     # SD_FLASH_BWD_BF16=1 stores the softmax numerator tile in bf16 after the
     # exact f32 row-sum, freeing VMEM for q-blocks at/above the 128-lane MXU
-    # tile (pair with SD_FLASH_BWD_BLOCK_N=128).
+    # tile (pair with SD_FLASH_BWD_BLOCK_N=128). Measured on v5e: block 128
+    # bf16 is SLOWER than the f32 block-112 default (320 vs 306-323 ms/step
+    # same-session) — the per-tile cast outweighs the larger block. Kept as
+    # an env-gated experiment for other shapes/chips.
     bf16_temps = os.environ.get("SD_FLASH_BWD_BF16", "0") == "1"
     block = int(os.environ.get("SD_FLASH_BWD_BLOCK_N", "112"))
     return flash_attention_bwd_fused(
