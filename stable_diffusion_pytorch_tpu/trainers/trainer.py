@@ -305,13 +305,24 @@ class Trainer:
         self.logger.info(f"Resume from epoch={start_epoch}, step={resume_step}")
         self.logger.info("**********************************************")
 
-        from stable_diffusion_pytorch_tpu.utils.profiling import StepTimer
+        from stable_diffusion_pytorch_tpu.utils.profiling import (
+            PhaseTimer,
+            StepTimer,
+        )
 
         base_key = jax.random.PRNGKey(cfg.train.seed)
         micro_step = global_step * accum
         window_losses = []
         t_last = time.time()
         step_timer = StepTimer(warmup=2)  # skip compile steps
+        # SD_TRAIN_PROFILE=1: attribute wall time to host phases (loader
+        # fetch / place / dispatch / loss sync) — the reference-scale
+        # device-vs-wall gap analysis in docs/PERFORMANCE.md
+        phases = (
+            PhaseTimer(warmup=2)
+            if os.environ.get("SD_TRAIN_PROFILE", "") == "1"
+            else None
+        )
         done = False
         # observability extensions (beyond the reference): EMA-smoothed
         # gradient-noise-scale and running-statistics loss-spike detection
@@ -323,13 +334,25 @@ class Trainer:
             if done:
                 break
             self.train_loader.set_epoch(epoch)
-            for step, batch in enumerate(self.train_loader):
+            epoch_iter = (
+                phases.timed_iter(self.train_loader, "fetch")
+                if phases is not None
+                else self.train_loader
+            )
+            for step, batch in enumerate(epoch_iter):
                 # skip to the resumed position (train_unet.py:349-358)
                 if resumed and epoch == start_epoch and step < resume_step:
                     continue
 
                 key = jax.random.fold_in(base_key, micro_step)
-                placed = self._place_batch(batch)
+                if phases is not None:
+                    with phases.phase("place"):
+                        placed = self._place_batch(batch)
+                else:
+                    placed = self._place_batch(batch)
+                if phases is not None:
+                    step_cm = phases.phase("dispatch")
+                    step_cm.__enter__()
                 with step_timer:
                     metrics = self._train_step(placed, key)
                     if getattr(self, "_offload_opt", False):
@@ -342,15 +365,25 @@ class Trainer:
                             )
                         )
                     jax.block_until_ready(metrics["loss"])
+                if phases is not None:
+                    step_cm.__exit__(None, None, None)
                 micro_step += 1
                 window_losses.append(metrics["loss"])
 
                 sync = micro_step % accum == 0
                 if sync:
                     global_step += 1
-                    loss_val = float(
-                        np.mean([np.asarray(l) for l in window_losses])
-                    )
+                    # np.asarray(loss) is the true device sync on the axon
+                    # runtime (block_until_ready returns early there)
+                    if phases is not None:
+                        with phases.phase("sync"):
+                            loss_val = float(
+                                np.mean([np.asarray(l) for l in window_losses])
+                            )
+                    else:
+                        loss_val = float(
+                            np.mean([np.asarray(l) for l in window_losses])
+                        )
                     window_losses = []
                     lr = lr_at_step(cfg.optim, max_train_steps, global_step)
                     dt = time.time() - t_last
@@ -360,6 +393,7 @@ class Trainer:
                         "lr": lr,
                         "samples_per_sec": total_bs / max(dt, 1e-9),
                         **step_timer.summary_ms(),
+                        **(phases.summary_ms() if phases is not None else {}),
                     }
                     if "gns_s" in metrics:
                         # EMA-smooth the two estimator halves separately, then
@@ -435,6 +469,12 @@ class Trainer:
                 path = self.ckpt_manager.save(global_step, self.state, epoch=epoch)
                 self.logger.info(f"Saved state to {path}")
 
+        if phases is not None and phases.samples:
+            summary = phases.summary_ms()
+            self.logger.info(
+                "SD_TRAIN_PROFILE phase breakdown (ms): "
+                + ", ".join(f"{k}={v:.1f}" for k, v in summary.items())
+            )
         self.tracker.finish()
 
     def evaluate(self, global_step: int) -> Optional[float]:

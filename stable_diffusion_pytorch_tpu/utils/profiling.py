@@ -50,6 +50,60 @@ class StepTimer:
         }
 
 
+class PhaseTimer:
+    """Per-step wall-time attribution across named phases.
+
+    Used by the trainer when ``SD_TRAIN_PROFILE=1`` to break the wall step
+    into host phases (loader ``fetch``, ``place`` host→device transfer,
+    ``dispatch`` = jitted-step call + block_until_ready, ``sync`` = the
+    loss scalar pull that actually waits for the device on the axon
+    runtime). The reference has no such breakdown; this is how the
+    device-vs-wall gap at reference scale was attributed (docs/PERFORMANCE.md
+    "input pipeline" section).
+    """
+
+    def __init__(self, warmup: int = 2):
+        self.samples: Dict[str, List[float]] = {}
+        self.warmup = warmup
+        self._seen: Dict[str, int] = {}
+
+    def add(self, name: str, dt: float) -> None:
+        seen = self._seen.get(name, 0) + 1
+        self._seen[name] = seen
+        if seen > self.warmup:
+            self.samples.setdefault(name, []).append(dt)
+
+    @contextlib.contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.add(name, time.perf_counter() - t0)
+
+    def timed_iter(self, iterable, name: str = "fetch"):
+        """Yield from ``iterable``, attributing each ``next()`` to ``name``."""
+        it = iter(iterable)
+        while True:
+            t0 = time.perf_counter()
+            try:
+                item = next(it)
+            except StopIteration:
+                return
+            self.add(name, time.perf_counter() - t0)
+            yield item
+
+    def summary_ms(self) -> Dict[str, float]:
+        out: Dict[str, float] = {}
+        for name, xs in sorted(self.samples.items()):
+            if not xs:
+                continue
+            s = sorted(xs)
+            out[f"{name}_ms_p50"] = s[len(s) // 2] * 1e3
+            out[f"{name}_ms_mean"] = sum(xs) / len(xs) * 1e3
+        return out
+
+
 @contextlib.contextmanager
 def trace(log_dir: str):
     """jax.profiler trace context (view with TensorBoard's profile plugin)."""
