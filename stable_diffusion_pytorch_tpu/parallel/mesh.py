@@ -201,3 +201,17 @@ def put_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(
         lambda x: jax.make_array_from_process_local_data(sharding, x), batch
     )
+
+
+def put_batch_chunk(mesh: Mesh, batch):
+    """Place a CHUNK of stacked batches [n_steps, batch, ...]: the leading
+    scan axis stays unsharded, the per-step batch axis (1) shards over data.
+
+    Used by the trainer's ``--steps-per-dispatch`` chained-step path, which
+    scans n_steps train steps inside one XLA program."""
+    sharding = NamedSharding(mesh, P(None, DATA_AXIS))
+    if jax.process_count() == 1:
+        return jax.device_put(batch, sharding)
+    return jax.tree_util.tree_map(
+        lambda x: jax.make_array_from_process_local_data(sharding, x), batch
+    )

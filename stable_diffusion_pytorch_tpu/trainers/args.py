@@ -73,6 +73,16 @@ class TrainConfig(BaseConfig):
     gradient_accumulation_steps: int = field(
         default=4, metadata={"help": "gradient accumulation steps"}
     )
+    steps_per_dispatch: int = field(
+        default=1,
+        metadata={
+            "help": "optimizer steps chained into one XLA program via lax.scan "
+            "(TPU-only win: amortizes the runtime's per-dispatch and "
+            "host-sync overhead; no reference analog — torch launches one "
+            "step per Python iteration). Chunks break automatically at "
+            "checkpoint/eval/termination boundaries; 1 = dispatch per step."
+        },
+    )
     use_deepspeed: bool = field(
         default=False,
         metadata={

@@ -254,6 +254,162 @@ class Trainer:
 
         return jax.jit(step, donate_argnums=(0,))
 
+    # --- chained dispatch (--steps-per-dispatch) --------------------------- #
+    # The axon TPU runtime charges a per-dispatch constant (~20 ms blocking
+    # dispatch + ~28 ms loss-scalar roundtrip, measured via SD_TRAIN_PROFILE
+    # at reference scale — docs/PERFORMANCE.md). Chaining n train steps into
+    # one program via lax.scan amortizes both. No reference analog: torch
+    # necessarily launches one step per Python iteration.
+
+    _jit_train_chain = None
+
+    def _chain_args(self):
+        """(pre, post) arg tuples spliced around the batch in the raw step
+        signature ``train_step(state, *pre, batch, *post, key)``."""
+        return (), ()
+
+    def _build_chain(self, train_step):
+        """jit a ``(state, pre, post, batches, base_key, m0) -> (state,
+        stacked_metrics)`` program scanning the per-step ``train_step`` over
+        the leading axis of ``batches``. Per-step PRNG keys are derived
+        in-program as ``fold_in(base_key, m0 + i)`` — bit-identical to the
+        host-side per-step path. ``m0`` is a traced scalar so chunk position
+        never triggers a recompile."""
+
+        def chained(state, pre, post, batches, base_key, m0):
+            def body(s, xs):
+                b, i = xs
+                k = jax.random.fold_in(base_key, m0 + i)
+                s2, m = train_step(s, *pre, b, *post, k)
+                return s2, m
+
+            n = jax.tree_util.tree_leaves(batches)[0].shape[0]
+            return jax.lax.scan(body, state, (batches, jnp.arange(n)))
+
+        return jax.jit(chained, donate_argnums=(0,))
+
+    def _train_chunk(self, batches, base_key, m0: int):
+        """Run one chained dispatch; returns metrics stacked [n_steps]."""
+        pre, post = self._chain_args()
+        self.state, metrics = self._jit_train_chain(
+            self.state, pre, post, batches, base_key, jnp.int32(m0)
+        )
+        return metrics
+
+    def _micro_steps(self, epoch_iter, *, skip_until, micro_step0, accum,
+                     ckpt_steps, max_train_steps, base_key, step_timer,
+                     phases):
+        """Yield per-micro-step metrics for one epoch.
+
+        With ``--steps-per-dispatch n > 1``, chains n optimizer steps
+        (n * accum micro steps) into ONE XLA program whenever no host-visible
+        boundary — checkpoint save, eval cadence, termination, epoch end —
+        falls strictly inside the chunk, and pulls the chunk's stacked scalar
+        metrics to host in ONE transfer. Boundaries and epoch remainders fall
+        back to the per-step program (exactly 2 compiled train programs).
+        The chained program derives the identical fold_in(seed, micro_step)
+        keys in-program, so loss streams are bit-comparable across paths.
+        """
+        cfg = self.cfg
+        spd = int(getattr(cfg.train, "steps_per_dispatch", 1) or 1)
+        chain_ok = (
+            spd > 1
+            and self._jit_train_chain is not None
+            and not getattr(self, "_offload_opt", False)
+        )
+        chunk_micros = spd * accum
+        log_interval = cfg.train.log_interval
+        micro = micro_step0
+        buf: list = []
+        it = enumerate(epoch_iter)
+        exhausted = False
+
+        def chunk_safe(m: int) -> bool:
+            if m % accum != 0:  # align chunks to optimizer-step boundaries
+                return False
+            g = m // accum  # completed optimizer steps
+            if g + spd > max_train_steps:
+                return False
+            for G in range(g + 1, g + spd):
+                if (
+                    isinstance(ckpt_steps, int)
+                    and ckpt_steps > 0
+                    and G % ckpt_steps == 0
+                ):
+                    return False
+                if (
+                    log_interval
+                    and log_interval > 0
+                    and (G + self.eval_cadence_offset) % log_interval == 0
+                ):
+                    return False
+            return True
+
+        while True:
+            want = chunk_micros if (chain_ok and chunk_safe(micro)) else 1
+            while len(buf) < want and not exhausted:
+                try:
+                    s, b = next(it)
+                except StopIteration:
+                    exhausted = True
+                    break
+                if s < skip_until:
+                    continue
+                buf.append(b)
+            if not buf:
+                return
+
+            if want > 1 and len(buf) >= chunk_micros:
+                batch_list, buf = buf[:chunk_micros], buf[chunk_micros:]
+                t0 = time.perf_counter()
+                stacked = {
+                    k: np.stack([bb[k] for bb in batch_list])
+                    for k in batch_list[0]
+                    if isinstance(batch_list[0][k], np.ndarray)
+                }
+                if phases is not None:
+                    with phases.phase("place"):
+                        placed = mesh_lib.put_batch_chunk(self.mesh, stacked)
+                else:
+                    placed = mesh_lib.put_batch_chunk(self.mesh, stacked)
+                metrics = self._train_chunk(placed, base_key, micro)
+                host = jax.device_get(metrics)  # one pull per chunk
+                per = (time.perf_counter() - t0) / chunk_micros
+                for i in range(chunk_micros):
+                    step_timer.add(per)
+                    if phases is not None:
+                        phases.add("dispatch", per)
+                    micro += 1
+                    yield {k: v[i] for k, v in host.items()}, per
+            else:
+                batch = buf.pop(0)
+                t0 = time.perf_counter()
+                key = jax.random.fold_in(base_key, micro)
+                if phases is not None:
+                    with phases.phase("place"):
+                        placed = self._place_batch(batch)
+                else:
+                    placed = self._place_batch(batch)
+                if phases is not None:
+                    step_cm = phases.phase("dispatch")
+                    step_cm.__enter__()
+                with step_timer:
+                    metrics = self._train_step(placed, key)
+                    if getattr(self, "_offload_opt", False):
+                        # evict the new moments to pinned host RAM; the next
+                        # step's jit streams them back in (device HBM holds
+                        # no optimizer state between steps)
+                        self.state = self.state.replace(
+                            opt_state=jax.device_put(
+                                self.state.opt_state, self._opt_host_shardings
+                            )
+                        )
+                    jax.block_until_ready(metrics["loss"])
+                if phases is not None:
+                    step_cm.__exit__(None, None, None)
+                micro += 1
+                yield metrics, time.perf_counter() - t0
+
     def _place_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
         usable = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
         return mesh_lib.put_batch(self.mesh, usable)
@@ -313,7 +469,7 @@ class Trainer:
         base_key = jax.random.PRNGKey(cfg.train.seed)
         micro_step = global_step * accum
         window_losses = []
-        t_last = time.time()
+        window_wall = 0.0  # summed per-step wall within the accum window
         step_timer = StepTimer(warmup=2)  # skip compile steps
         # SD_TRAIN_PROFILE=1: attribute wall time to host phases (loader
         # fetch / place / dispatch / loss sync) — the reference-scale
@@ -339,36 +495,24 @@ class Trainer:
                 if phases is not None
                 else self.train_loader
             )
-            for step, batch in enumerate(epoch_iter):
-                # skip to the resumed position (train_unet.py:349-358)
-                if resumed and epoch == start_epoch and step < resume_step:
-                    continue
-
-                key = jax.random.fold_in(base_key, micro_step)
-                if phases is not None:
-                    with phases.phase("place"):
-                        placed = self._place_batch(batch)
-                else:
-                    placed = self._place_batch(batch)
-                if phases is not None:
-                    step_cm = phases.phase("dispatch")
-                    step_cm.__enter__()
-                with step_timer:
-                    metrics = self._train_step(placed, key)
-                    if getattr(self, "_offload_opt", False):
-                        # evict the new moments to pinned host RAM; the next
-                        # step's jit streams them back in (device HBM holds no
-                        # optimizer state between steps)
-                        self.state = self.state.replace(
-                            opt_state=jax.device_put(
-                                self.state.opt_state, self._opt_host_shardings
-                            )
-                        )
-                    jax.block_until_ready(metrics["loss"])
-                if phases is not None:
-                    step_cm.__exit__(None, None, None)
+            # resume skip (train_unet.py:349-358) is handled by the stepper
+            stepper = self._micro_steps(
+                epoch_iter,
+                skip_until=(
+                    resume_step if (resumed and epoch == start_epoch) else -1
+                ),
+                micro_step0=micro_step,
+                accum=accum,
+                ckpt_steps=ckpt_steps,
+                max_train_steps=max_train_steps,
+                base_key=base_key,
+                step_timer=step_timer,
+                phases=phases,
+            )
+            for metrics, step_wall in stepper:
                 micro_step += 1
                 window_losses.append(metrics["loss"])
+                window_wall += step_wall
 
                 sync = micro_step % accum == 0
                 if sync:
@@ -386,8 +530,12 @@ class Trainer:
                         )
                     window_losses = []
                     lr = lr_at_step(cfg.optim, max_train_steps, global_step)
-                    dt = time.time() - t_last
-                    t_last = time.time()
+                    # wall attributed to this window's train steps (chunked
+                    # dispatch spreads its chunk wall evenly; excludes eval/
+                    # checkpoint/log time so the rate is comparable across
+                    # --steps-per-dispatch settings)
+                    dt = window_wall
+                    window_wall = 0.0
                     record = {
                         "train_loss": loss_val,
                         "lr": lr,
@@ -588,6 +736,7 @@ class UNetTrainer(Trainer):
         )
         self._jit_train = self._jit_step(train_step)
         self._jit_eval = jax.jit(eval_step)
+        self._jit_train_chain = self._build_chain(train_step)
 
         self.state = self._place_state(
             TrainState.create(
@@ -606,6 +755,9 @@ class UNetTrainer(Trainer):
             )
         else:
             self.uncond_train = self.uncond_eval
+
+    def _chain_args(self):
+        return (self.clip_params, self.vae_params), (self.uncond_train,)
 
     def _train_step(self, batch, key):
         self.state, metrics = self._jit_train(
@@ -683,6 +835,7 @@ class TextualInversionTrainer(Trainer):
         )
         self._jit_train = self._jit_step(train_step)
         self._jit_eval = jax.jit(eval_step)
+        self._jit_train_chain = self._build_chain(train_step)
 
         self.state = self._place_state(
             TrainState.create(
@@ -710,6 +863,9 @@ class TextualInversionTrainer(Trainer):
                     },
                     f,
                 )
+
+    def _chain_args(self):
+        return (self.unet_params, self.clip_params, self.vae_params), ()
 
     def _train_step(self, batch, key):
         self.state, metrics = self._jit_train(
@@ -798,6 +954,7 @@ class ControlNetTrainer(Trainer):
         )
         self._jit_train = self._jit_step(train_step)
         self._jit_eval = jax.jit(eval_step)
+        self._jit_train_chain = self._build_chain(train_step)
 
         self.state = self._place_state(
             TrainState.create(cn_params, self.tx, with_ema=cfg.train.ema_decay > 0)
@@ -807,6 +964,11 @@ class ControlNetTrainer(Trainer):
         self.vae_params = mesh_lib.put_replicated(self.mesh, model.autoencoder_params)
         uncond_tokens = jnp.asarray(model.text_encoder.tokenize([""]).input_ids[0])
         self.uncond = mesh_lib.put_replicated(self.mesh, uncond_tokens)
+
+    def _chain_args(self):
+        return (self.unet_params, self.clip_params, self.vae_params), (
+            self.uncond,
+        )
 
     def _train_step(self, batch, key):
         self.state, metrics = self._jit_train(
@@ -885,11 +1047,15 @@ class AutoencoderTrainer(Trainer):
         )
         self._jit_train = self._jit_step(train_step)
         self._jit_eval = jax.jit(eval_step)
+        self._jit_train_chain = self._build_chain(train_step)
         self.state = self._place_state(
             TrainState.create(
                 self.init_vae_params, self.tx, with_ema=self.cfg.train.ema_decay > 0
             )
         )
+
+    def _chain_args(self):
+        return (), ()
 
     def _train_step(self, batch, key):
         self.state, metrics = self._jit_train(self.state, batch, key)

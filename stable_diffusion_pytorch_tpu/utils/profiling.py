@@ -28,7 +28,11 @@ class StepTimer:
         return self
 
     def __exit__(self, *exc) -> None:
-        dt = time.perf_counter() - self._t0
+        self.add(time.perf_counter() - self._t0)
+
+    def add(self, dt: float) -> None:
+        """Record an externally-measured duration (e.g. chunk wall / n_steps
+        from the trainer's chained-dispatch path)."""
         self._seen += 1
         if self._seen > self.warmup:
             self.durations.append(dt)
