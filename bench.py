@@ -55,6 +55,33 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    # Device-attach watchdog: the tunneled TPU backend blocks FOREVER inside
+    # jax.devices() when the relay is down (observed: 20+ min hangs). Probe
+    # the attach on a daemon thread with a hard deadline so the bench fails
+    # loudly (exit 3 + stderr diagnostic) instead of hanging the driver.
+    import threading
+
+    attach = {}
+
+    def _probe():
+        try:
+            attach["devices"] = jax.devices()
+        except Exception as e:  # surface backend-init errors as a clean fail
+            attach["error"] = repr(e)
+
+    t = threading.Thread(target=_probe, daemon=True)
+    t.start()
+    t.join(timeout=float(os.environ.get("BENCH_ATTACH_TIMEOUT_S", "600")))
+    if t.is_alive():
+        log("FATAL: device attach did not complete within the watchdog "
+            "deadline — the TPU tunnel/relay looks down. Set "
+            "BENCH_ATTACH_TIMEOUT_S to adjust.")
+        os._exit(3)
+    if "error" in attach:
+        log(f"FATAL: device attach failed: {attach['error']}")
+        os._exit(3)
+    log(f"devices: {attach['devices']}")
+
     batch = int(os.environ.get("BENCH_BATCH", "4"))
     steps = int(os.environ.get("BENCH_STEPS", "50"))
     res = int(os.environ.get("BENCH_RES", "512"))
