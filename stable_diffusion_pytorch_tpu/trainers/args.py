@@ -282,7 +282,18 @@ class OptimConfig(BaseConfig):
         metadata={
             "help": "storage dtype of AdamW's first moment: f32, or bf16 to "
             "halve its HBM footprint/traffic (~1.7GB on the SD-1.5 UNet; the "
-            "update math still runs in f32, and the variance stays f32).",
+            "update math still runs in f32).",
+            "choices": ["f32", "bf16"],
+        },
+    )
+    adam_nu_dtype: str = field(
+        default="f32",
+        metadata={
+            "help": "storage dtype of AdamW's second moment (fused path "
+            "only): f32, or bf16 to halve its HBM footprint/traffic — a "
+            "stability trade (~2^-10 relative error on the update through "
+            "the sqrt; moment math stays f32). For a 4x state cut use "
+            "--use-8bit-adam instead.",
             "choices": ["f32", "bf16"],
         },
     )

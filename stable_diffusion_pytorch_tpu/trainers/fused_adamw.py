@@ -79,11 +79,16 @@ def fused_adamw(
     weight_decay: float = 0.0,
     max_grad_norm: Optional[float] = None,
     mu_dtype: Optional[Any] = None,
+    nu_dtype: Optional[Any] = None,
 ) -> FusedTransformation:
     """Fused ``chain(clip_by_global_norm(max_grad_norm), adamw(...))``.
 
     ``max_grad_norm=None`` disables the clip (and its extra grad-tree read).
     ``mu_dtype`` stores the first moment in a narrower dtype (update math f32).
+    ``nu_dtype`` does the same for the second moment — a stability trade: a
+    bf16 nu quantizes E[g^2] to ~2^-9 relative, which reaches the update as
+    ~2^-10 through the sqrt in the denominator (~0.1%); the moment update
+    itself still accumulates in f32 before the narrowing store.
     """
     sched = learning_rate if callable(learning_rate) else (lambda _: learning_rate)
 
@@ -91,7 +96,9 @@ def fused_adamw(
         mu = jax.tree_util.tree_map(
             lambda p: jnp.zeros_like(p, dtype=mu_dtype or p.dtype), params
         )
-        nu = jax.tree_util.tree_map(jnp.zeros_like, params)
+        nu = jax.tree_util.tree_map(
+            lambda p: jnp.zeros_like(p, dtype=nu_dtype or p.dtype), params
+        )
         return FusedAdamWState(count=jnp.zeros([], jnp.int32), mu=mu, nu=nu)
 
     def _scalars(grads, state):

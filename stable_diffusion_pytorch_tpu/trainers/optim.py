@@ -79,6 +79,12 @@ def build_optimizer(
             tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulation_steps)
         return tx
     use_bf16_mu = getattr(optim_cfg, "adam_mu_dtype", "f32") == "bf16"
+    use_bf16_nu = getattr(optim_cfg, "adam_nu_dtype", "f32") == "bf16"
+    if use_bf16_nu and getattr(optim_cfg, "no_fused_adamw", False):
+        raise ValueError(
+            "--adam-nu-dtype bf16 requires the fused AdamW path "
+            "(optax.adamw has no nu storage dtype); drop --no-fused-adamw"
+        )
     if not getattr(optim_cfg, "no_fused_adamw", False):
         # default: single-HBM-pass fused clip+AdamW (trainers/fused_adamw.py);
         # bit-identical f32 math to the optax chain below. Sync-step speed is
@@ -99,6 +105,7 @@ def build_optimizer(
             weight_decay=optim_cfg.adam_weight_decay,
             max_grad_norm=optim_cfg.max_grad_norm,
             mu_dtype="bfloat16" if use_bf16_mu else None,
+            nu_dtype="bfloat16" if use_bf16_nu else None,
         )
         if gradient_accumulation_steps > 1:
             acc_bf16 = getattr(optim_cfg, "accum_dtype", "f32") == "bf16"

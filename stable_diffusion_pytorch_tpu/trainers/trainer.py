@@ -587,7 +587,11 @@ class Trainer:
                             f"loss={loss_val:.5f} lr={lr:.2e} "
                             f"({total_bs / max(dt, 1e-9):.1f} samples/s)"
                         )
-                    if isinstance(ckpt_steps, int) and global_step % ckpt_steps == 0:
+                    if (
+                        isinstance(ckpt_steps, int)
+                        and ckpt_steps > 0
+                        and global_step % ckpt_steps == 0
+                    ):
                         path = self.ckpt_manager.save(global_step, self.state)
                         self.logger.info(f"Saved state to {path}")
 
