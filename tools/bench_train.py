@@ -12,7 +12,10 @@ TB_OPT (fused [default, matches the trainer] | optax | 8bit),
 TB_ACCUM (1; >1 wraps the optimizer in gradient accumulation — fused ->
 fused_accumulate, optax/8bit -> optax.MultiSteps — and times micro steps;
 the trainer's default is 4, where MultiSteps streams a zero update through
-all params on every non-sync micro step and the fused wrapper does not).
+all params on every non-sync micro step and the fused wrapper does not),
+TB_CHAIN (1; k>1 scans k train steps inside one XLA program, the trainer's
+--steps-per-dispatch path — isolates the runtime's per-dispatch/loss-sync
+constants from the in-program step time).
 """
 
 import json
@@ -150,19 +153,46 @@ def main():
         f"cost analysis: {step_flops / 1e12:.2f} TFLOP per train step "
         f"(xla {step_xla / 1e12:.2f} + flash fwd+bwd {step_flash / 1e12:.2f})"
     )
+    # TB_CHAIN=k: lax.scan k train steps inside ONE XLA program (the trainer's
+    # --steps-per-dispatch path) — isolates the runtime's per-dispatch +
+    # loss-sync constants from the in-program step time. Reported step time is
+    # chunk wall / k.
+    chain_k = int(os.environ.get("TB_CHAIN", "1"))
+    if chain_k > 1:
+        def chained(state, cp, batch, unc, base_key):
+            def body(s, i):
+                s2, m = train_step(s, cp, None, batch, unc,
+                                   jax.random.fold_in(base_key, i))
+                return s2, m["loss"]
+            return jax.lax.scan(body, state, jnp.arange(chain_k))
+
+        jit_chain = jax.jit(chained, donate_argnums=(0,))
+
     t0 = time.time()
-    state, metrics = jit_step(state, clip_params, None, batch_dict, uncond, key)
-    float(metrics["loss"])
+    if chain_k > 1:
+        state, losses = jit_chain(state, clip_params, batch_dict, uncond, key)
+        float(jnp.sum(losses))
+    else:
+        state, metrics = jit_step(state, clip_params, None, batch_dict, uncond, key)
+        float(metrics["loss"])
     log(f"warmup {time.time() - t0:.1f}s")
 
     times = []
     for i in range(repeats):
         t0 = time.time()
-        state, metrics = jit_step(
-            state, clip_params, None, batch_dict, uncond, jax.random.fold_in(key, i)
-        )
-        float(metrics["loss"])  # host pull forces completion
-        dt = time.time() - t0
+        if chain_k > 1:
+            state, losses = jit_chain(
+                state, clip_params, batch_dict, uncond, jax.random.fold_in(key, i)
+            )
+            float(jnp.sum(losses))  # one host pull per CHUNK
+            dt = (time.time() - t0) / chain_k
+        else:
+            state, metrics = jit_step(
+                state, clip_params, None, batch_dict, uncond,
+                jax.random.fold_in(key, i),
+            )
+            float(metrics["loss"])  # host pull forces completion
+            dt = time.time() - t0
         times.append(dt)
         log(f"step {i}: {dt * 1e3:.1f} ms -> {batch / dt:.2f} samples/sec")
 
@@ -184,6 +214,8 @@ def main():
         out["metric"] += f"_accum{accum}"
         out["step_ms_p50"] = None
         out["micro_step_ms_mean"] = round(p50 * 1e3, 2)
+    if chain_k > 1:
+        out["metric"] += f"_chain{chain_k}"
     if step_flops > 0:
         from bench import V5E_PEAK_BF16_TFLOPS
 
