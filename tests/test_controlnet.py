@@ -300,6 +300,9 @@ def test_train_controlnet_e2e_and_txt2img_roundtrip(tmp_path, monkeypatch):
     train_controlnet.main(tiny_args + [
         "--max-train-steps", "3",
         "--log-interval", "2",
+        # chain coverage for ControlNetTrainer._chain_args (frozen towers as
+        # pre-args, uncond tokens as post-arg); boundary assertions below
+        "--steps-per-dispatch", "2",
         "--ckpt-dir", ckpt,
         "--checkpointing-steps", "2",
         "--logging-dir", str(tmp_path / "logs"),

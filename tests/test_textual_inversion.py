@@ -190,6 +190,10 @@ def test_train_textual_inversion_e2e(tmp_path, monkeypatch):
         "--num-devices", "2",
         "--max-train-steps", "3",
         "--log-interval", "2",
+        # chain coverage for TextualInversionTrainer._chain_args (frozen
+        # unet/clip/vae passed as pre-args): steps 1-2 run as one chunk,
+        # step 3 per-step; eval/ckpt assertions below validate boundaries
+        "--steps-per-dispatch", "2",
         "--placeholder-token", "<thing>",
         "--num-vectors", "2",
         "--ckpt-dir", ckpt,

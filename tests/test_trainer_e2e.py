@@ -113,6 +113,11 @@ def test_train_autoencoder_runs(tmp_path, monkeypatch):
     train_autoencoder.main(
         TINY + [
             "--max-train-steps", "2",
+            # chain coverage for AutoencoderTrainer._chain_args: the VAE's
+            # (step+1) eval cadence puts a boundary INSIDE the would-be chunk,
+            # exercising the chunk_safe fallback; step/eval/ckpt assertions
+            # below then validate chained semantics
+            "--steps-per-dispatch", "2",
             "--ckpt-dir", str(tmp_path / "ckpt_vae"),
             "--checkpointing-steps", "2",
             "--log-interval", "2",
