@@ -149,6 +149,10 @@ def test_grad_noise_scale_and_spike_flags(tmp_path, monkeypatch):
         "--train-batch-size", "2",  # GNS splits the batch in half
         "--log-grad-noise-scale",
         "--spike-threshold", "3.0",
+        # ZeRO sharding + chained dispatch composed: the scanned chain must
+        # carry the sharded opt_state through donation without respecializing
+        "--shard-optimizer-state",
+        "--steps-per-dispatch", "3",
     ]
     train_unet.main(args)
     m = _metrics(tmp_path / "logs" / "train_unet_metrics.jsonl")
