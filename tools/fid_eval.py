@@ -34,8 +34,11 @@ sys.path.append("/root/reference")  # append: never shadow repo-root modules
 
 
 def main() -> dict:
-    # CPU is the right target: tiny models, torch reference runs on CPU
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # CPU is the right target: tiny models, torch reference runs on CPU.
+    # Hard-set (not setdefault): the shell env pins JAX_PLATFORMS=axon, which
+    # would silently route the jax half onto the tunneled TPU — set
+    # FID_PLATFORM to override deliberately.
+    os.environ["JAX_PLATFORMS"] = os.environ.get("FID_PLATFORM", "cpu")
     from stable_diffusion_pytorch_tpu.utils.platform import ensure_platform
 
     ensure_platform()
