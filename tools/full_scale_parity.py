@@ -44,7 +44,10 @@ def log(m):
 
 
 def main() -> dict:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
+    # hard-set: the shell pins JAX_PLATFORMS=axon, which setdefault would
+    # keep, silently routing this CPU-targeted harness onto the tunneled TPU
+    # (PARITY_PLATFORM overrides deliberately)
+    os.environ["JAX_PLATFORMS"] = os.environ.get("PARITY_PLATFORM", "cpu")
     from stable_diffusion_pytorch_tpu.utils.platform import ensure_platform
 
     ensure_platform()
