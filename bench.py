@@ -203,8 +203,6 @@ def main() -> None:
     float(checksum)
     log(f"warmup done in {time.time() - t0:.1f}s; output {out.shape}")
 
-    from stable_diffusion_pytorch_tpu.ops.attention import attention_stats
-
     stats = attention_stats()
     log(f"attention dispatch (trace-time): {stats}")
     if backend == "tpu":

@@ -166,10 +166,14 @@ def multi_head_attention(
                         check_rep=False,
                     )(q, k, v)
                     _STATS["flash"] += 1
+                    # PER-CHIP executed FLOPs: each of the n_data*n_model
+                    # shards runs 1/(n_data*n_model) of the global attention;
+                    # MFU accounting (bench.py) compares against a single
+                    # chip's peak, so record the local share
                     _STATS["flash_flops"] += (
                         4 * q.shape[0] * q.shape[1] * k.shape[1]
                         * q.shape[2] * q.shape[3]
-                    )
+                    ) / (n_data * n_model)
                     return out
             out = flash_attention(q, k, v, scale)
             _STATS["flash"] += 1

@@ -164,10 +164,29 @@ def fused_adamw(
     return FusedTransformation(init=init_fn, update=update_fn, apply=apply_fn)
 
 
+def as_fused_apply(tx: optax.GradientTransformation) -> FusedTransformation:
+    """Give any optax transformation the ``apply`` protocol so it composes
+    with :func:`fused_accumulate`.
+
+    ``apply`` is the plain ``update`` + ``optax.apply_updates`` — one extra
+    params read-modify-write, but ONLY on the sync step: under
+    ``fused_accumulate`` the non-sync micro steps never reach the inner
+    transform at all, which is the entire memory/traffic win over
+    ``optax.MultiSteps`` (zero-update params stream every micro step plus an
+    f32 accumulator). Used for the 8-bit Adam + gradient-accumulation
+    composition (trainers/optim.py)."""
+
+    def apply_fn(grads, state, params):
+        updates, new_state = tx.update(grads, state, params)
+        return optax.apply_updates(params, updates), new_state
+
+    return FusedTransformation(init=tx.init, update=tx.update, apply=apply_fn)
+
+
 class FusedAccumState(NamedTuple):
     mini_step: chex.Array  # int32 in [0, every_k)
     acc: chex.ArrayTree  # running mean of micro-grads, f32
-    inner: FusedAdamWState
+    inner: Any  # FusedAdamWState, or any optax state via as_fused_apply
 
 
 class FusedAccumTransformation(NamedTuple):

@@ -76,7 +76,23 @@ def build_optimizer(
             ),
         )
         if gradient_accumulation_steps > 1:
-            tx = optax.MultiSteps(tx, every_k_schedule=gradient_accumulation_steps)
+            # compose via fused_accumulate, NOT optax.MultiSteps: MultiSteps
+            # keeps an f32 accumulator AND streams a zero update through all
+            # params every non-sync micro step — measured to OOM SD-1.5-scale
+            # HBM even at batch 2 (docs/PERFORMANCE.md), which would defeat
+            # the 8-bit flag's whole purpose. fused_accumulate touches only
+            # the accumulator off-sync and honors --accum-dtype bf16.
+            from stable_diffusion_pytorch_tpu.trainers.fused_adamw import (
+                as_fused_apply,
+                fused_accumulate,
+            )
+
+            acc_bf16 = getattr(optim_cfg, "accum_dtype", "f32") == "bf16"
+            return fused_accumulate(
+                as_fused_apply(tx),
+                gradient_accumulation_steps,
+                acc_dtype=jnp.bfloat16 if acc_bf16 else None,
+            )
         return tx
     use_bf16_mu = getattr(optim_cfg, "adam_mu_dtype", "f32") == "bf16"
     use_bf16_nu = getattr(optim_cfg, "adam_nu_dtype", "f32") == "bf16"

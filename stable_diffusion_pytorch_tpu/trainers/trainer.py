@@ -347,6 +347,7 @@ class Trainer:
 
         while True:
             want = chunk_micros if (chain_ok and chunk_safe(micro)) else 1
+            t_fetch0 = time.perf_counter()
             while len(buf) < want and not exhausted:
                 try:
                     s, b = next(it)
@@ -356,31 +357,43 @@ class Trainer:
                 if s < skip_until:
                     continue
                 buf.append(b)
+            # loader wall, part of the yielded per-step wall so that
+            # samples_per_sec reflects true throughput incl. input-bound
+            # stalls (phase-level attribution to 'fetch' happens inside the
+            # timed_iter wrapper around epoch_iter)
+            fetch_dt = time.perf_counter() - t_fetch0
             if not buf:
                 return
 
             if want > 1 and len(buf) >= chunk_micros:
                 batch_list, buf = buf[:chunk_micros], buf[chunk_micros:]
                 t0 = time.perf_counter()
-                stacked = {
-                    k: np.stack([bb[k] for bb in batch_list])
-                    for k in batch_list[0]
-                    if isinstance(batch_list[0][k], np.ndarray)
-                }
                 if phases is not None:
-                    with phases.phase("place"):
-                        placed = mesh_lib.put_batch_chunk(self.mesh, stacked)
-                else:
+                    place_cm = phases.phase("place")
+                    place_cm.__enter__()
+                try:
+                    # host-side stack counts as placement work
+                    stacked = {
+                        k: np.stack([bb[k] for bb in batch_list])
+                        for k in batch_list[0]
+                        if isinstance(batch_list[0][k], np.ndarray)
+                    }
                     placed = mesh_lib.put_batch_chunk(self.mesh, stacked)
+                finally:
+                    if phases is not None:
+                        place_cm.__exit__(None, None, None)
+                t_disp0 = time.perf_counter()
                 metrics = self._train_chunk(placed, base_key, micro)
                 host = jax.device_get(metrics)  # one pull per chunk
-                per = (time.perf_counter() - t0) / chunk_micros
+                t_end = time.perf_counter()
+                per_disp = (t_end - t_disp0) / chunk_micros
+                per_wall = (fetch_dt + (t_end - t0)) / chunk_micros
                 for i in range(chunk_micros):
-                    step_timer.add(per)
+                    step_timer.add(per_disp)
                     if phases is not None:
-                        phases.add("dispatch", per)
+                        phases.add("dispatch", per_disp)
                     micro += 1
-                    yield {k: v[i] for k, v in host.items()}, per
+                    yield {k: v[i] for k, v in host.items()}, per_wall
             else:
                 batch = buf.pop(0)
                 t0 = time.perf_counter()
@@ -393,22 +406,25 @@ class Trainer:
                 if phases is not None:
                     step_cm = phases.phase("dispatch")
                     step_cm.__enter__()
-                with step_timer:
-                    metrics = self._train_step(placed, key)
-                    if getattr(self, "_offload_opt", False):
-                        # evict the new moments to pinned host RAM; the next
-                        # step's jit streams them back in (device HBM holds
-                        # no optimizer state between steps)
-                        self.state = self.state.replace(
-                            opt_state=jax.device_put(
-                                self.state.opt_state, self._opt_host_shardings
+                try:
+                    with step_timer:
+                        metrics = self._train_step(placed, key)
+                        if getattr(self, "_offload_opt", False):
+                            # evict the new moments to pinned host RAM; the
+                            # next step's jit streams them back in (device HBM
+                            # holds no optimizer state between steps)
+                            self.state = self.state.replace(
+                                opt_state=jax.device_put(
+                                    self.state.opt_state,
+                                    self._opt_host_shardings,
+                                )
                             )
-                        )
-                    jax.block_until_ready(metrics["loss"])
-                if phases is not None:
-                    step_cm.__exit__(None, None, None)
+                        jax.block_until_ready(metrics["loss"])
+                finally:
+                    if phases is not None:
+                        step_cm.__exit__(None, None, None)
                 micro += 1
-                yield metrics, time.perf_counter() - t0
+                yield metrics, fetch_dt + (time.perf_counter() - t0)
 
     def _place_batch(self, batch: Dict[str, np.ndarray]) -> Dict[str, Any]:
         usable = {k: v for k, v in batch.items() if isinstance(v, np.ndarray)}
@@ -530,10 +546,10 @@ class Trainer:
                         )
                     window_losses = []
                     lr = lr_at_step(cfg.optim, max_train_steps, global_step)
-                    # wall attributed to this window's train steps (chunked
-                    # dispatch spreads its chunk wall evenly; excludes eval/
-                    # checkpoint/log time so the rate is comparable across
-                    # --steps-per-dispatch settings)
+                    # wall attributed to this window's train steps, incl.
+                    # loader fetch (chunked dispatch spreads its chunk wall
+                    # evenly); excludes eval/checkpoint/log time so the rate
+                    # is comparable across --steps-per-dispatch settings
                     dt = window_wall
                     window_wall = 0.0
                     record = {
@@ -1057,9 +1073,6 @@ class AutoencoderTrainer(Trainer):
                 self.init_vae_params, self.tx, with_ema=self.cfg.train.ema_decay > 0
             )
         )
-
-    def _chain_args(self):
-        return (), ()
 
     def _train_step(self, batch, key):
         self.state, metrics = self._jit_train(self.state, batch, key)

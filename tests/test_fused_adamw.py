@@ -313,3 +313,53 @@ def test_build_optimizer_nu_dtype_wiring_and_guard():
             ),
             100,
         )
+
+
+def test_8bit_adam_composes_with_fused_accumulate():
+    """--use-8bit-adam + gradient accumulation must NOT route through
+    optax.MultiSteps (f32 accumulator + params-wide zero-update stream every
+    micro step — measured to OOM SD-1.5-scale HBM, docs/PERFORMANCE.md).
+    build_optimizer composes it via as_fused_apply + fused_accumulate, which
+    must match MultiSteps' mean-of-micro-grads semantics."""
+    from types import SimpleNamespace
+
+    from stable_diffusion_pytorch_tpu.trainers.fused_adamw import (
+        FusedAccumTransformation,
+    )
+    from stable_diffusion_pytorch_tpu.trainers.optim import build_optimizer
+
+    cfg = SimpleNamespace(
+        learning_rate=1e-3,
+        adam_weight_decay=0.1,
+        max_grad_norm=1.0,
+        scheduler_type="constant",
+        lr_warmup_steps=0,
+        use_8bit_adam=True,
+        adam_mu_dtype="f32",
+        adam_nu_dtype="f32",
+        no_fused_adamw=False,
+        accum_dtype="bf16",
+    )
+    tx = build_optimizer(cfg, 100, gradient_accumulation_steps=2)
+    assert isinstance(tx, FusedAccumTransformation)
+    p = _tree(9)
+    s = tx.init(p)
+    assert s.acc["dense"].dtype == jnp.bfloat16  # --accum-dtype honored
+
+    # semantics vs MultiSteps around the same 8-bit inner chain
+    from stable_diffusion_pytorch_tpu.trainers.adam8bit import adamw_8bit
+
+    inner = optax.chain(
+        optax.clip_by_global_norm(1.0), adamw_8bit(1e-3, weight_decay=0.1)
+    )
+    ms = optax.MultiSteps(inner, every_k_schedule=2)
+    cfg_f32 = SimpleNamespace(**{**cfg.__dict__, "accum_dtype": "f32"})
+    fx = build_optimizer(cfg_f32, 100, gradient_accumulation_steps=2)
+    p_ms = _tree(9)
+    p_fx = jax.tree_util.tree_map(jnp.copy, p_ms)
+    s_ms, s_fx = ms.init(p_ms), fx.init(p_fx)
+    for g in _grads_seq(4, seed=21):
+        upd, s_ms = ms.update(g, s_ms, p_ms)
+        p_ms = optax.apply_updates(p_ms, upd)
+        p_fx, s_fx = fx.apply(g, s_fx, p_fx)
+    _assert_trees_close(p_ms, p_fx, rtol=1e-5, atol=1e-6)
