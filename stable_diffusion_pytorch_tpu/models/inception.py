@@ -172,17 +172,29 @@ class InceptionE(nn.Module):
 class InceptionV3Pool3(nn.Module):
     """torchvision inception_v3 up to the 2048-d pool3 feature (fc dropped).
 
-    Input: [B, 299, 299, 3] NHWC, same value convention the caller feeds the
-    torch extractor ([-1, 1] range; no transform_input re-normalization,
-    matching ``inception_v3(transform_input=False)``, the torchvision default).
+    Input: [B, 299, 299, 3] NHWC in [-1, 1].
+
+    ``transform_input`` replicates torchvision's ``_transform_input``: a fixed
+    per-channel affine remapping [-1, 1] (mean/std 0.5) inputs to ImageNet
+    normalization (mean [.485,.456,.406], std [.229,.224,.225]). torchvision's
+    ``inception_v3`` builder FORCES ``transform_input=True`` whenever weights
+    are passed, so any extractor claiming parity with
+    ``inception_v3(weights=IMAGENET1K_V1)`` must set it True
+    (utils/fid.py:FlaxInceptionFeatureExtractor does). Default False = the
+    bare architecture, for tests that drive both frameworks explicitly.
     """
 
     dtype: jnp.dtype = jnp.float32
+    transform_input: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         d = self.dtype
         x = x.astype(d)
+        if self.transform_input:
+            scale = jnp.asarray([0.229, 0.224, 0.225], d) / 0.5
+            shift = (jnp.asarray([0.485, 0.456, 0.406], d) - 0.5) / 0.5
+            x = x * scale + shift
         x = BasicConv2d(32, (3, 3), strides=(2, 2), dtype=d, name="Conv2d_1a_3x3")(x)
         x = BasicConv2d(32, (3, 3), dtype=d, name="Conv2d_2a_3x3")(x)
         x = BasicConv2d(64, (3, 3), padding=(1, 1), dtype=d, name="Conv2d_2b_3x3")(x)

@@ -388,10 +388,17 @@ class Trainer:
                 t_end = time.perf_counter()
                 per_disp = (t_end - t_disp0) / chunk_micros
                 per_wall = (fetch_dt + (t_end - t0)) / chunk_micros
+                # the FIRST chained dispatch includes the XLA compile, which
+                # would otherwise smear chunk_micros compile-inflated samples
+                # past StepTimer/PhaseTimer's small warmup — skip the whole
+                # first chunk so summary_ms reflects steady state
+                chain_warm = getattr(self, "_chain_warm", False)
+                self._chain_warm = True
                 for i in range(chunk_micros):
-                    step_timer.add(per_disp)
-                    if phases is not None:
-                        phases.add("dispatch", per_disp)
+                    if chain_warm:
+                        step_timer.add(per_disp)
+                        if phases is not None:
+                            phases.add("dispatch", per_disp)
                     micro += 1
                     yield {k: v[i] for k, v in host.items()}, per_wall
             else:

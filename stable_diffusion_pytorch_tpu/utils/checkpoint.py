@@ -64,13 +64,43 @@ def load_params_for_inference(path: str) -> Any:
 
 
 def restore_checkpoint(path: str, abstract_state: Any) -> Any:
-    """Restore into the structure/shardings of ``abstract_state``."""
+    """Restore into the structure/shardings of ``abstract_state``.
+
+    A pytree-structure mismatch on ``opt_state`` almost always means the
+    checkpoint was saved under a different optimizer layout than the current
+    flags select (the fused AdamW default changed the opt_state pytree vs the
+    optax chain — trainers/optim.py). Orbax's raw error doesn't point at the
+    cause, so diagnose it here and name the escape hatches.
+    """
     ckptr = ocp.StandardCheckpointer()
-    restored = ckptr.restore(
-        os.path.abspath(path),
-        jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, abstract_state),
-    )
-    ckptr.close()
+    try:
+        restored = ckptr.restore(
+            os.path.abspath(path),
+            jax.tree_util.tree_map(ocp.utils.to_shape_dtype_struct, abstract_state),
+        )
+    except Exception as e:  # noqa: BLE001 - re-raise with diagnosis
+        msg = str(e)
+        looks_structural = any(
+            s in msg.lower()
+            for s in ("structure", "mismatch", "tree", "not found in checkpoint",
+                      "missing", "does not match")
+        )
+        if looks_structural:
+            raise RuntimeError(
+                f"checkpoint restore from {path} failed with a pytree "
+                "structure mismatch. If this checkpoint was saved with a "
+                "different optimizer layout, re-run with the matching flags: "
+                "checkpoints from before the fused-AdamW default (or saved "
+                "with --no-fused-adamw) need --no-fused-adamw; fused-layout "
+                "checkpoints need the default. Moment-dtype flags "
+                "(--adam-mu-dtype/--adam-nu-dtype/--use-8bit-adam) and "
+                "--gradient-accumulation-steps>1 also change the layout and "
+                "must match the saving run.\n"
+                f"Underlying orbax error: {msg}"
+            ) from e
+        raise
+    finally:
+        ckptr.close()
     return restored
 
 

@@ -44,7 +44,14 @@ class DatasetConfig(BaseConfig):
         metadata={"help": "Cache directory to store loaded dataset."},
     )
     dataloader_num_workers: int = field(
-        default=4, metadata={"help": "number of workers for the dataloaders."}
+        default=4,
+        metadata={
+            "help": "number of workers for the dataloaders. >0 decodes rows "
+            "on a thread pool: the dataset's __getitem__ must be thread-safe "
+            "(the built-in HF/synthetic/latent-cache datasets are; pass 0 to "
+            "serialize access for custom datasets that share file handles or "
+            "decoders across calls)."
+        },
     )
     resolution: int = field(default=64, metadata={"help": "resolution of the images."})
     center_crop: bool = field(
@@ -655,6 +662,15 @@ class DataLoader:
     host-side decode with the device step. Batch order and contents are
     identical to the synchronous path (rows are mapped in order), so
     resume/replay determinism is unaffected.
+
+    Thread-safety contract: with ``num_workers > 0`` the dataset's
+    ``__getitem__`` is called concurrently from pool threads and must be
+    thread-safe. The datasets this package ships (HFImageTextDataset — HF
+    datasets are re-entrant for reads, PIL decode is per-call —,
+    SyntheticTextImageDataset, the latent-cache dataset: all stateless per
+    call) satisfy this. Custom datasets holding shared mutable state (one
+    open file handle, a shared decoder object) must either guard it or be
+    run with ``num_workers=0``.
     """
 
     def __init__(

@@ -95,6 +95,12 @@ class FlaxInceptionFeatureExtractor:
     — no torch/torchvision needed at run time. Converter parity vs a
     state-dict-identical torch model is tested in tests/test_inception.py, so
     staged real weights produce canonical FID numbers directly.
+
+    Applies torchvision's ``transform_input`` re-normalization: the
+    ``inception_v3`` builder forces ``transform_input=True`` whenever weights
+    are passed (as :class:`InceptionFeatureExtractor` does with
+    IMAGENET1K_V1), so this extractor must too for the two ``fid_inception``
+    extractors to produce identical features.
     """
 
     name = "fid_inception"
@@ -117,7 +123,9 @@ class FlaxInceptionFeatureExtractor:
                 "(a torchvision inception_v3 state dict or pre-converted "
                 "Flax params)"
             )
-        model = InceptionV3Pool3()
+        # transform_input=True: torchvision forces it for pretrained weights,
+        # so the torch InceptionFeatureExtractor applies it — we must match.
+        model = InceptionV3Pool3(transform_input=True)
 
         def _extract(params, img):
             # [-1,1] NHWC -> 299x299 (bilinear, half-pixel centers == torch

@@ -146,10 +146,17 @@ class InceptionE(tnn.Module):
 
 
 class TorchInceptionPool3(tnn.Module):
-    """inception_v3 through pool3 (fc dropped), torchvision layer naming."""
+    """inception_v3 through pool3 (fc dropped), torchvision layer naming.
 
-    def __init__(self):
+    ``transform_input`` replicates torchvision's ``_transform_input`` — the
+    builder forces it True whenever pretrained weights are passed, so the
+    real torch extractor (utils/fid.py:InceptionFeatureExtractor) runs with
+    it on.
+    """
+
+    def __init__(self, transform_input=False):
         super().__init__()
+        self.transform_input = transform_input
         self.Conv2d_1a_3x3 = BasicConv2d(3, 32, kernel_size=3, stride=2)
         self.Conv2d_2a_3x3 = BasicConv2d(32, 32, kernel_size=3)
         self.Conv2d_2b_3x3 = BasicConv2d(32, 64, kernel_size=3, padding=1)
@@ -168,6 +175,11 @@ class TorchInceptionPool3(tnn.Module):
         self.Mixed_7c = InceptionE(2048)
 
     def forward(self, x):
+        if self.transform_input:
+            x_ch0 = torch.unsqueeze(x[:, 0], 1) * (0.229 / 0.5) + (0.485 - 0.5) / 0.5
+            x_ch1 = torch.unsqueeze(x[:, 1], 1) * (0.224 / 0.5) + (0.456 - 0.5) / 0.5
+            x_ch2 = torch.unsqueeze(x[:, 2], 1) * (0.225 / 0.5) + (0.406 - 0.5) / 0.5
+            x = torch.cat((x_ch0, x_ch1, x_ch2), 1)
         x = self.Conv2d_1a_3x3(x)
         x = self.Conv2d_2a_3x3(x)
         x = self.Conv2d_2b_3x3(x)
@@ -307,11 +319,48 @@ def test_extractor_resize_matches_torch_interpolate(torch_model, tmp_path):
     imgs = rng.uniform(-1, 1, (2, 512, 512, 3)).astype(np.float32)
     ours = ex(imgs)
 
-    with torch.no_grad():
-        t = torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)))
-        t = torch.nn.functional.interpolate(
-            t, size=(299, 299), mode="bilinear", align_corners=False
-        )
-        ref = torch_model(t).numpy()
+    # the real torch extractor runs with transform_input=True (forced by the
+    # torchvision builder for pretrained weights); the Flax extractor matches
+    torch_model.transform_input = True
+    try:
+        with torch.no_grad():
+            t = torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)))
+            t = torch.nn.functional.interpolate(
+                t, size=(299, 299), mode="bilinear", align_corners=False
+            )
+            ref = torch_model(t).numpy()
+    finally:
+        torch_model.transform_input = False
     scale = max(float(np.abs(ref).max()), 1.0)
     np.testing.assert_allclose(ours / scale, ref / scale, rtol=3e-3, atol=3e-3)
+
+
+def test_extractor_applies_transform_input(torch_model, tmp_path):
+    """The Flax extractor must reproduce torchvision's transform_input
+    re-normalization (forced True for pretrained weights): parity against the
+    torch replica WITH the transform, and a deliberate mismatch against the
+    replica WITHOUT it (guards against the transform being dropped)."""
+    from stable_diffusion_pytorch_tpu.utils import fid as fid_lib
+
+    root = tmp_path / "pretrained" / "inception"
+    root.mkdir(parents=True)
+    torch.save(torch_model.state_dict(), root / "inception_v3.pth")
+    ex = fid_lib.FlaxInceptionFeatureExtractor(model_dir=str(tmp_path / "pretrained"))
+
+    rng = np.random.default_rng(11)
+    imgs = rng.uniform(-1, 1, (2, 299, 299, 3)).astype(np.float32)
+    ours = ex(imgs)
+
+    t = torch.from_numpy(np.transpose(imgs, (0, 3, 1, 2)))
+    torch_model.transform_input = True
+    try:
+        with torch.no_grad():
+            ref_with = torch_model(t).numpy()
+    finally:
+        torch_model.transform_input = False
+    with torch.no_grad():
+        ref_without = torch_model(t).numpy()
+
+    scale = max(float(np.abs(ref_with).max()), 1.0)
+    np.testing.assert_allclose(ours / scale, ref_with / scale, rtol=3e-3, atol=3e-3)
+    assert np.abs(ref_with - ref_without).max() / scale > 1e-2
