@@ -150,6 +150,72 @@ class FlaxInceptionFeatureExtractor:
         )
 
 
+class RandomInceptionFeatureExtractor:
+    """Image-space proxy features from a FIXED-SEED random-init InceptionV3.
+
+    Round-3 finding (FID_PROXY_r03.json): the tiny untrained-VAE image
+    extractor had no discriminative power — fid_ref_vs_default sat exactly at
+    the noise floor while the latent metric separated the stacks by 15.5.
+    Random deep features are a classic discriminative embedding (random
+    projections through ~94 conv+ReLU layers preserve distributional
+    differences); this extractor makes the image-space proxy carry signal
+    without any staged weights.
+
+    Weights are deterministic (``seed``): conv kernels re-sampled with
+    variance-preserving He/Kaiming std sqrt(2/fan_in) — flax's default
+    lecun_normal decays a ReLU net's signal to a near-constant over this
+    depth, which is exactly the collapse that made the VAE proxy vacuous —
+    and folded-BN affines left at identity. NOT comparable to canonical
+    Inception FID numbers; labeled ``fid_inception_random``.
+    """
+
+    name = "fid_inception_random"
+
+    def __init__(self, seed: int = 0):
+        import jax
+        import jax.numpy as jnp
+
+        from stable_diffusion_pytorch_tpu.models.inception import InceptionV3Pool3
+
+        model = InceptionV3Pool3()
+        shapes = jax.eval_shape(
+            lambda: model.init(jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3)))
+        )
+        flat, treedef = jax.tree_util.tree_flatten_with_path(shapes)
+        base = jax.random.PRNGKey(seed)
+        leaves = []
+        for i, (path, leaf) in enumerate(flat):
+            path_str = jax.tree_util.keystr(path)
+            if path_str.endswith("['kernel']"):
+                kh, kw, cin, _ = leaf.shape
+                std = float(np.sqrt(2.0 / (kh * kw * cin)))
+                leaves.append(
+                    jax.random.normal(jax.random.fold_in(base, i), leaf.shape, leaf.dtype) * std
+                )
+            elif "bn_scale" in path_str:
+                leaves.append(jnp.ones(leaf.shape, leaf.dtype))
+            else:
+                leaves.append(jnp.zeros(leaf.shape, leaf.dtype))
+        params = jax.tree_util.tree_unflatten(treedef, leaves)
+
+        def _extract(params, img):
+            img = jax.image.resize(
+                img, (img.shape[0], 299, 299, 3), method="bilinear",
+                antialias=False,
+            )
+            return model.apply(params, img)
+
+        self._fn = jax.jit(_extract)
+        self._params = params
+        self._jnp = jnp
+
+    def __call__(self, images) -> np.ndarray:
+        return np.asarray(
+            self._fn(self._params, self._jnp.asarray(images, self._jnp.float32)),
+            np.float64,
+        )
+
+
 class InceptionFeatureExtractor:
     """Canonical InceptionV3 pool3 features via torchvision (local cache only)."""
 

@@ -45,6 +45,41 @@ def test_frechet_distance_symmetry():
     np.testing.assert_allclose(d_ab, d_ba, rtol=1e-6)
 
 
+def test_random_inception_extractor_discriminative_and_deterministic():
+    """The fixed-seed random Inception extractor must (a) be deterministic
+    across instantiations, (b) produce input-dependent features (no depth
+    collapse), and (c) separate a shifted image set from the identical-set
+    floor — the property the round-3 VAE image proxy measurably lacked."""
+    from stable_diffusion_pytorch_tpu.utils.fid import (
+        RandomInceptionFeatureExtractor,
+    )
+
+    rng = np.random.default_rng(0)
+    # structured images (not iid noise): blobs at different positions/scales
+    def blob(cx, cy, s):
+        y, x = np.mgrid[0:32, 0:32]
+        img = np.exp(-(((x - cx) ** 2 + (y - cy) ** 2) / (2 * s * s)))
+        return np.stack([img, img * 0.5, -img], -1).astype(np.float32)
+
+    imgs_a = [blob(rng.uniform(8, 24), rng.uniform(8, 24), rng.uniform(2, 5))
+              for _ in range(12)]
+    imgs_b = [np.clip(a * 0.3 - 0.4, -1, 1) for a in imgs_a]
+
+    ex1 = RandomInceptionFeatureExtractor(seed=0)
+    ex2 = RandomInceptionFeatureExtractor(seed=0)
+    f1 = ex1(np.stack(imgs_a[:4]))
+    f2 = ex2(np.stack(imgs_a[:4]))
+    assert f1.shape == (4, 2048)
+    np.testing.assert_array_equal(f1, f2)
+
+    # input-dependent: feature std across images comparable to feature scale
+    assert f1.std(axis=0).mean() > 1e-3 * np.abs(f1).mean()
+
+    fid_same = fid_between(ex1, imgs_a, imgs_a, batch_size=6)
+    fid_diff = fid_between(ex1, imgs_a, imgs_b, batch_size=6)
+    assert fid_diff > max(abs(fid_same), 1e-8) * 100
+
+
 def test_vae_feature_extractor_and_fid_between():
     import jax
     import jax.numpy as jnp
