@@ -34,7 +34,7 @@ from flax import linen as nn
 from flax import struct
 
 from stable_diffusion_pytorch_tpu.ops.attention import multi_head_attention
-from stable_diffusion_pytorch_tpu.ops.groupnorm import group_norm
+from stable_diffusion_pytorch_tpu.ops.groupnorm import group_norm, group_norm_cat
 
 Dtype = jnp.dtype
 
@@ -102,7 +102,13 @@ class GaussianDistribution:
 
 
 class GroupNormSiLU(nn.Module):
-    """GroupNorm with optional fused SiLU, dispatched through ops.groupnorm."""
+    """GroupNorm with optional fused SiLU, dispatched through ops.groupnorm.
+
+    Passing ``skip_cat`` normalizes the VIRTUAL concat(x, skip_cat) along
+    channels (joint group statistics) without materializing the raw concat —
+    parameters are identical to the plain module at the concatenated width,
+    so checkpoints/converters are unaffected.
+    """
 
     num_groups: int
     apply_silu: bool = True
@@ -110,10 +116,17 @@ class GroupNormSiLU(nn.Module):
     dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
-        c = x.shape[-1]
+    def __call__(
+        self, x: jnp.ndarray, skip_cat: Optional[jnp.ndarray] = None
+    ) -> jnp.ndarray:
+        c = x.shape[-1] + (skip_cat.shape[-1] if skip_cat is not None else 0)
         scale = self.param("scale", nn.initializers.ones, (c,), jnp.float32)
         bias = self.param("bias", zeros_init, (c,), jnp.float32)
+        if skip_cat is not None:
+            return group_norm_cat(
+                x, skip_cat, scale, bias, self.num_groups, self.eps,
+                apply_silu=self.apply_silu,
+            )
         return group_norm(
             x, scale, bias, self.num_groups, self.eps, apply_silu=self.apply_silu
         )
@@ -250,9 +263,38 @@ class DownSample(nn.Module):
         return conv3x3(out_ch, stride=2, dtype=self.dtype, name="conv")(x)
 
 
+class _Conv1x1Params(nn.Module):
+    """Canonical [1, 1, C_in, C_out] conv kernel + bias under the names nn.Conv
+    would create, applied by the caller in a transformed (split) form."""
+
+    features: int
+
+    @nn.compact
+    def __call__(self, in_ch: int):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, in_ch, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", zeros_init, (self.features,), jnp.float32)
+        return kernel, bias
+
+
 class ResBlock(nn.Module):
     """GN+SiLU+Conv / +time-MLP / GN+SiLU+Dropout+zero-Conv, 1x1-conv skip
-    (resnet2d.py:127-238)."""
+    (resnet2d.py:127-238).
+
+    ``skip_cat``: a second input concatenated channel-wise AFTER ``x`` — the
+    UNet up-path skip connection (/root/reference/stable_diffusion/models/
+    unet.py:306-309). The concat is handled VIRTUALLY: the opening GroupNorm
+    computes joint statistics from the two parts (group_norm_cat writes the
+    normalized concat the in_conv consumes — the raw concat never exists in
+    HBM), and the 1x1 residual conv applies its kernel in split form
+    (conv(cat(x,s), W) == x @ W[:C1] + s @ W[C1:], exact). Parameters are
+    identical to concatenating first, so checkpoints/converters see no
+    difference.
+    """
 
     out_channels: Optional[int] = None
     time_emb_dim: Optional[int] = None
@@ -266,14 +308,18 @@ class ResBlock(nn.Module):
         x: jnp.ndarray,
         time_emb: Optional[jnp.ndarray] = None,
         deterministic: bool = True,
+        skip_cat: Optional[jnp.ndarray] = None,
     ) -> jnp.ndarray:
-        in_ch = x.shape[-1]
+        c1 = x.shape[-1]
+        in_ch = c1 + (skip_cat.shape[-1] if skip_cat is not None else 0)
         out_ch = self.out_channels or in_ch
         assert in_ch % self.groups == 0, (
             f"in_channels({in_ch}) must be divisible by groups({self.groups})"
         )
 
-        h = GroupNormSiLU(self.groups, dtype=self.dtype, name="in_norm")(x)
+        h = GroupNormSiLU(self.groups, dtype=self.dtype, name="in_norm")(
+            x, skip_cat
+        )
         h = conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
 
         if self.time_emb_dim is not None and time_emb is not None:
@@ -287,9 +333,24 @@ class ResBlock(nn.Module):
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = conv3x3(out_ch, zero_init=True, dtype=self.dtype, name="out_conv")(h)
 
+        if skip_cat is None:
+            if in_ch != out_ch:
+                x = conv1x1(out_ch, dtype=self.dtype, name="skip")(x)
+            return h + x
         if in_ch != out_ch:
-            x = conv1x1(out_ch, dtype=self.dtype, name="skip")(x)
-        return h + x
+            kernel, kbias = _Conv1x1Params(out_ch, name="skip")(in_ch)
+            kernel = kernel[0, 0].astype(self.dtype)  # [C_in, C_out]
+            res = (
+                jnp.dot(x.astype(self.dtype), kernel[:c1])
+                + jnp.dot(skip_cat.astype(self.dtype), kernel[c1:])
+                + kbias.astype(self.dtype)
+            )
+            return h + res
+        # identity residual at equal width: fold the adds into the output
+        # write instead of building the raw concat first
+        return jnp.concatenate(
+            [h[..., :c1] + x, h[..., c1:] + skip_cat], axis=-1
+        )
 
 
 class _DenseKernel(nn.Module):

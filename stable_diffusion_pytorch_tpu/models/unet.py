@@ -316,7 +316,9 @@ class UNetModel(nn.Module):
 
         def run_out_block(x, i, entry, skip):
             _, _, oc, attn, upsample = entry
-            x = jnp.concatenate([x, skip], axis=-1)
+            # skip concat handled INSIDE ResBlock (group_norm_cat + split 1x1
+            # residual): the raw concat never materializes in HBM — see
+            # blocks.ResBlock docstring (ref: unet.py:306-309 concatenates)
             x = res_cls(
                 out_channels=oc,
                 time_emb_dim=t_dim,
@@ -324,7 +326,7 @@ class UNetModel(nn.Module):
                 groups=self.groups,
                 dtype=self.dtype,
                 name=f"out_{i}_res",
-            )(x, t_emb, deterministic)
+            )(x, t_emb, deterministic, skip)
             if attn:
                 x = self._spatial_transformer(oc, f"out_{i}_attn", attn_cls)(
                     x, context_emb, deterministic

@@ -177,6 +177,92 @@ def pallas_group_norm_bwd(
     )
 
 
+def _gn_cat_kernel(
+    x1_ref, x2_ref, scale_ref, bias_ref, memb_ref, o_ref, *, eps, silu, group_size
+):
+    """Concat-input variant: one VMEM-resident pass reads the two parts of the
+    UNet up-path skip concatenation, computes JOINT group statistics, and
+    writes the normalized(+SiLU) concat — the raw concat never touches HBM
+    (reference analog: the materialized channel concat at
+    /root/reference/stable_diffusion/models/unet.py:306-309)."""
+    x = jnp.concatenate(
+        [x1_ref[0].astype(jnp.float32), x2_ref[0].astype(jnp.float32)], axis=1
+    )  # [S, C1+C2] — VMEM only
+    s = x.shape[0]
+    n = s * group_size
+
+    xs = jnp.sum(x, axis=0)
+    xsq = jnp.sum(x * x, axis=0)
+    memb = memb_ref[...]
+
+    gs = jnp.dot(xs[None, :], memb, preferred_element_type=jnp.float32)
+    gsq = jnp.dot(xsq[None, :], memb, preferred_element_type=jnp.float32)
+    mean_g = gs / n
+    var_g = gsq / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = jnp.dot(mean_g, memb.T, preferred_element_type=jnp.float32)
+    inv_c = jnp.dot(inv_g, memb.T, preferred_element_type=jnp.float32)
+
+    scale = scale_ref[...].astype(jnp.float32)
+    bias = bias_ref[...].astype(jnp.float32)
+    y = (x - mean_c) * inv_c * scale[None, :] + bias[None, :]
+    if silu:
+        y = y * jax.nn.sigmoid(y)
+    o_ref[0] = y.astype(o_ref.dtype)
+
+
+def pallas_group_norm_cat(
+    x: jnp.ndarray,
+    x2: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-5,
+    apply_silu: bool = False,
+) -> jnp.ndarray:
+    """GroupNorm(+SiLU) of concat(x, x2) along channels -> [..., C1+C2]."""
+    b, c1 = x.shape[0], x.shape[-1]
+    c2 = x2.shape[-1]
+    c = c1 + c2
+    s = int(np.prod(x.shape[1:-1]))
+    assert x.shape[:-1] == x2.shape[:-1], (x.shape, x2.shape)
+    assert c % num_groups == 0
+
+    if s * c * x.dtype.itemsize > _VMEM_BYTES_LIMIT:
+        raise ValueError("feature map too large for the fused GN cat kernel")
+    if c1 % 128 != 0 or c2 % 128 != 0 or s % 8 != 0:
+        raise ValueError("unaligned shape for the fused GN cat kernel")
+
+    group_size = c // num_groups
+    memb = np.zeros((c, num_groups), np.float32)
+    memb[np.arange(c), np.arange(c) // group_size] = 1.0
+    memb = jnp.asarray(memb)
+
+    out = pl.pallas_call(
+        functools.partial(
+            _gn_cat_kernel, eps=eps, silu=apply_silu, group_size=group_size
+        ),
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, s, c1), lambda i: (i, 0, 0)),
+            pl.BlockSpec((1, s, c2), lambda i: (i, 0, 0)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c,), lambda i: (0,)),
+            pl.BlockSpec((c, num_groups), lambda i: (0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, s, c), lambda i: (i, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((b, s, c), x.dtype),
+        interpret=jax.default_backend() != "tpu",
+    )(
+        x.reshape(b, s, c1),
+        x2.reshape(b, s, c2),
+        scale.astype(jnp.float32),
+        bias.astype(jnp.float32),
+        memb,
+    )
+    return out.reshape(x.shape[:-1] + (c,))
+
+
 def pallas_group_norm(
     x: jnp.ndarray,
     scale: jnp.ndarray,

@@ -155,3 +155,144 @@ def group_norm(
         if eligible:
             return _fused_group_norm(x, scale, bias, num_groups, eps, apply_silu)
     return xla_group_norm(x, scale, bias, num_groups, eps, apply_silu)
+
+
+# --------------------------------------------------------------------------- #
+# concat-input GroupNorm: normalize the VIRTUAL concat(x, s) without ever
+# materializing the raw concatenation in HBM
+# --------------------------------------------------------------------------- #
+#
+# The UNet's up path opens every ResBlock with GN(SiLU(concat(x, skip))) —
+# the reference materializes the channel concat
+# (/root/reference/stable_diffusion/models/unet.py:306-309), costing a full
+# write + re-read of the widest feature maps in the network (round-3 roofline:
+# skip-concat materialization is one of the three named HBM-bound levers).
+# Joint group statistics are computable from per-part channel moments, so the
+# only concat that ever exists is the NORMALIZED output the following conv
+# consumes anyway: raw-concat traffic (one write + one read of [*, C1+C2])
+# disappears. The Pallas variant folds stats+normalize+SiLU+concat into one
+# VMEM-resident pass (3 traversals total incl. the conv read, vs 5 for
+# concat -> GN -> conv).
+
+
+def xla_group_norm_cat(
+    x: jnp.ndarray,
+    s: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-5,
+    apply_silu: bool = False,
+) -> jnp.ndarray:
+    """GroupNorm(+SiLU) of concat(x, s) along channels, stats from parts.
+
+    Handles groups that straddle the part boundary exactly: per-channel
+    sums/sumsqs from each part concatenate into tiny [B, C] vectors, and the
+    membership matmul reduces them jointly — identical math to
+    ``xla_group_norm(concat(x, s))``.
+    """
+    dtype = x.dtype
+    c1, c2 = x.shape[-1], s.shape[-1]
+    c = c1 + c2
+    assert c % num_groups == 0, f"channels {c} not divisible by groups {num_groups}"
+    assert x.shape[:-1] == s.shape[:-1], (x.shape, s.shape)
+    orig_shape = x.shape[:-1] + (c,)
+    b = x.shape[0]
+    group_size = c // num_groups
+    n = int(np.prod(x.shape[1:-1])) * group_size
+
+    memb = np.zeros((c, num_groups), np.float32)
+    memb[np.arange(c), np.arange(c) // group_size] = 1.0
+    memb = jnp.asarray(memb)
+
+    xf = x.astype(jnp.float32).reshape(b, -1, c1)
+    sf = s.astype(jnp.float32).reshape(b, -1, c2)
+    sums = jnp.concatenate(
+        [jnp.sum(xf, axis=1), jnp.sum(sf, axis=1)], axis=-1
+    )  # [B, C] — tiny
+    sumsq = jnp.concatenate(
+        [jnp.sum(xf * xf, axis=1), jnp.sum(sf * sf, axis=1)], axis=-1
+    )
+    gs = sums @ memb  # [B, G]
+    gsq = sumsq @ memb
+    mean_g = gs / n
+    var_g = gsq / n - mean_g * mean_g
+    inv_g = jax.lax.rsqrt(var_g + eps)
+    mean_c = (mean_g @ memb.T)[:, None, :]  # [B, 1, C]
+    inv_c = (inv_g @ memb.T)[:, None, :]
+
+    scale_f = scale.astype(jnp.float32)
+    bias_f = bias.astype(jnp.float32)
+
+    def _norm(part, lo, hi):
+        y = (part - mean_c[..., lo:hi]) * inv_c[..., lo:hi] * scale_f[lo:hi] \
+            + bias_f[lo:hi]
+        if apply_silu:
+            y = y * jax.nn.sigmoid(y)
+        return y
+
+    # the concat below is the function's OUTPUT (the conv input) — XLA fuses
+    # the two elementwise normalize chains into the single output write
+    y = jnp.concatenate([_norm(xf, 0, c1), _norm(sf, c1, c)], axis=-1)
+    return y.reshape(orig_shape).astype(dtype)
+
+
+def _pallas_cat_eligible(x: jnp.ndarray, s: jnp.ndarray) -> bool:
+    from stable_diffusion_pytorch_tpu.ops.fused_groupnorm import _VMEM_BYTES_LIMIT
+
+    c1, c2 = x.shape[-1], s.shape[-1]
+    sp = int(np.prod(x.shape[1:-1]))
+    return (
+        c1 % 128 == 0
+        and c2 % 128 == 0
+        and sp % 8 == 0
+        and sp * (c1 + c2) * x.dtype.itemsize <= _VMEM_BYTES_LIMIT
+    )
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _fused_group_norm_cat(x, s, scale, bias, num_groups, eps, apply_silu):
+    from stable_diffusion_pytorch_tpu.ops.fused_groupnorm import (
+        pallas_group_norm_cat,
+    )
+
+    return pallas_group_norm_cat(x, s, scale, bias, num_groups, eps, apply_silu)
+
+
+def _fused_cat_fwd(x, s, scale, bias, num_groups, eps, apply_silu):
+    out = _fused_group_norm_cat(x, s, scale, bias, num_groups, eps, apply_silu)
+    return out, (x, s, scale, bias)
+
+
+def _fused_cat_bwd(num_groups, eps, apply_silu, res, g):
+    # exact gradients by differentiating the XLA formulation (the same
+    # fallback the single-input fused GN uses for oversize maps)
+    x, s, scale, bias = res
+    _, vjp = jax.vjp(
+        lambda x_, s_, sc_, b_: xla_group_norm_cat(
+            x_, s_, sc_, b_, num_groups, eps, apply_silu
+        ),
+        x, s, scale, bias,
+    )
+    return vjp(g)
+
+
+_fused_group_norm_cat.defvjp(_fused_cat_fwd, _fused_cat_bwd)
+
+
+def group_norm_cat(
+    x: jnp.ndarray,
+    s: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int,
+    eps: float = 1e-5,
+    apply_silu: bool = False,
+) -> jnp.ndarray:
+    """GroupNorm(+SiLU) over the virtual concat(x, s): returns the normalized
+    [..., C1+C2] tensor without materializing the raw concatenation."""
+    if _use_pallas() and _pallas_cat_eligible(x, s):
+        return _fused_group_norm_cat(
+            x, s, scale, bias, num_groups, eps, apply_silu
+        )
+    return xla_group_norm_cat(x, s, scale, bias, num_groups, eps, apply_silu)

@@ -203,3 +203,44 @@ def test_gaussian_distribution():
     # deterministic under same key, different under different keys
     np.testing.assert_allclose(np.asarray(dist.sample(KEY)), np.asarray(s))
     assert not np.allclose(np.asarray(dist.sample(jax.random.PRNGKey(1))), np.asarray(s))
+
+
+def test_resblock_skip_cat_matches_concat():
+    """ResBlock(x, skip_cat=s) must reproduce ResBlock(concat(x, s)) exactly
+    (same params — the split path is a pure traffic optimization), in both
+    the channel-changing (1x1 residual conv) and identity-residual cases,
+    for outputs AND gradients."""
+    import jax
+
+    from stable_diffusion_pytorch_tpu.models.blocks import ResBlock
+
+    rng = np.random.default_rng(0)
+    for c1, c2, out_ch in [(8, 8, 12), (8, 4, 16), (6, 10, 16), (8, 8, 16)]:
+        x = jnp.asarray(rng.standard_normal((2, 4, 4, c1)), jnp.float32)
+        s = jnp.asarray(rng.standard_normal((2, 4, 4, c2)), jnp.float32)
+        cat = jnp.concatenate([x, s], -1)
+        block = ResBlock(out_channels=out_ch, time_emb_dim=16, groups=4)
+        t_emb = jnp.asarray(rng.standard_normal((2, 16)), jnp.float32)
+
+        params = block.init(jax.random.PRNGKey(0), cat, t_emb, True)
+        ref = block.apply(params, cat, t_emb, True)
+        out = block.apply(params, x, t_emb, True, s)
+        assert out.shape == ref.shape
+        np.testing.assert_allclose(
+            np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5
+        )
+
+        def loss_split(p):
+            return jnp.sum(jnp.sin(block.apply(p, x, t_emb, True, s)))
+
+        def loss_cat(p):
+            return jnp.sum(jnp.sin(block.apply(p, cat, t_emb, True)))
+
+        g_split = jax.grad(loss_split)(params)
+        g_cat = jax.grad(loss_cat)(params)
+        for a, b in zip(
+            jax.tree_util.tree_leaves(g_split), jax.tree_util.tree_leaves(g_cat)
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5
+            )

@@ -137,3 +137,73 @@ def test_fused_bwd_falls_back_for_large_maps(monkeypatch):
             )
     finally:
         G.set_groupnorm_impl("auto")
+
+
+# ----------------------- concat-input GroupNorm ----------------------- #
+
+
+@pytest.mark.parametrize(
+    "c1,c2,groups",
+    [
+        (128, 128, 32),   # aligned, groups split cleanly at the boundary
+        (6, 10, 4),       # group straddles the part boundary (size 4: ch 4..7)
+        (10, 6, 8),       # straddle, uneven parts
+        (256, 128, 32),   # aligned, unequal parts
+    ],
+)
+def test_group_norm_cat_matches_concat(c1, c2, groups):
+    """group_norm_cat(x, s) must equal group_norm(concat(x, s)) exactly —
+    including when a group straddles the part boundary."""
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((2, 4, 4, c1)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((2, 4, 4, c2)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(c1 + c2), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c1 + c2), jnp.float32)
+
+    ref = G.xla_group_norm(
+        jnp.concatenate([x, s], -1), scale, bias, groups, apply_silu=True
+    )
+    out = G.xla_group_norm_cat(x, s, scale, bias, groups, apply_silu=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_pallas_group_norm_cat_matches_xla():
+    from stable_diffusion_pytorch_tpu.ops.fused_groupnorm import (
+        pallas_group_norm_cat,
+    )
+
+    rng = np.random.default_rng(1)
+    c1, c2, groups = 128, 256, 32
+    x = jnp.asarray(rng.standard_normal((2, 8, 8, c1)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((2, 8, 8, c2)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(c1 + c2), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c1 + c2), jnp.float32)
+    ref = G.xla_group_norm_cat(x, s, scale, bias, groups, apply_silu=True)
+    out = pallas_group_norm_cat(x, s, scale, bias, groups, apply_silu=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5, rtol=1e-5)
+
+
+def test_group_norm_cat_gradients_match_concat():
+    """Autodiff through the split formulation == autodiff through concat+GN,
+    for x, s, scale and bias (and through the fused custom-VJP wrapper)."""
+    rng = np.random.default_rng(2)
+    c1, c2, groups = 128, 128, 16
+    x = jnp.asarray(rng.standard_normal((1, 4, 4, c1)), jnp.float32)
+    s = jnp.asarray(rng.standard_normal((1, 4, 4, c2)), jnp.float32)
+    scale = jnp.asarray(rng.standard_normal(c1 + c2), jnp.float32)
+    bias = jnp.asarray(rng.standard_normal(c1 + c2), jnp.float32)
+
+    def loss_cat(x, s, scale, bias):
+        y = G.group_norm_cat(x, s, scale, bias, groups, apply_silu=True)
+        return jnp.sum(jnp.sin(y))
+
+    def loss_ref(x, s, scale, bias):
+        y = G.xla_group_norm(
+            jnp.concatenate([x, s], -1), scale, bias, groups, apply_silu=True
+        )
+        return jnp.sum(jnp.sin(y))
+
+    g_cat = jax.grad(loss_cat, argnums=(0, 1, 2, 3))(x, s, scale, bias)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3))(x, s, scale, bias)
+    for a, b in zip(g_cat, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5, rtol=1e-5)
