@@ -26,6 +26,18 @@ moment, an honest half-measure; VERDICT r2 missing #4).
 
 Update math (the Adam recurrence, bias correction, eps) runs entirely in f32;
 only the *stored* moments are quantized, matching bitsandbytes semantics.
+
+LAYOUT (round 4): quantization blocks follow the parameter's OWN layout —
+codes are stored int8 in the exact shape of the parameter, and absmax blocks
+tile the minor (lane) dimension: [.., C] splits into [.., C/256, 256] when C
+divides (lane-tile-aligned minor-dim split, free on TPU), else one block per
+row. Round 3 measured the bitsandbytes-style FLAT 256-element blocking as a
+17% step slowdown (364 vs 312 ms at SD-1.5 scale): flattening every [.., C]
+tensor to [n_blocks, 256] forces an XLA relayout of gradient-sized traffic in
+BOTH directions every step. Parameter-shaped codes eliminate the relayout
+entirely (quantize is then a lane-dim reduce + elementwise, which XLA fuses
+into the update), and as a bonus shard under ZeRO/FSDP along the exact same
+axes as their parameters.
 """
 
 from __future__ import annotations
@@ -41,39 +53,55 @@ import optax
 class _QTensor(NamedTuple):
     """Blockwise-quantized tensor: int8 codes + f32 per-block absmax.
 
-    ``q`` is [n_blocks, block_size] (zero-padded tail), ``scale`` holds each
-    block's absmax [n_blocks, 1]; dequantized value i =
-    sign(q[i]) * (|q[i]|/127)^2 * scale[block(i)] (quadratic magnitude code).
+    ``q`` holds the codes in the PARAMETER'S OWN SHAPE (no flat relayout);
+    ``scale`` holds per-block absmaxes in the blocked view's shape
+    ([.., C/block, 1] when the minor dim divides by ``block``, else [.., 1]
+    one block per row). Dequantized value =
+    sign(q) * (|q|/127)^2 * scale[block] (quadratic magnitude code).
     """
 
     q: jnp.ndarray
     scale: jnp.ndarray
 
 
-def _pad_len(n: int, block: int) -> int:
-    return (n + block - 1) // block * block
+def _blocked_view(shape, block: int):
+    """(view_shape, reduce_axis) for lane-tile-aligned minor-dim blocking."""
+    if len(shape) == 0:
+        return (1, 1), 1
+    c = shape[-1]
+    lead = tuple(shape[:-1])
+    if c % block == 0 and c > block:
+        return lead + (c // block, block), len(lead) + 1
+    return lead + (c,), len(lead)
 
 
 def _quantize(x: jnp.ndarray, block: int) -> _QTensor:
-    flat = x.reshape(-1)
-    pad = _pad_len(flat.shape[0], block) - flat.shape[0]
-    xb = jnp.pad(flat, (0, pad)).reshape(-1, block)
-    absmax = jnp.max(jnp.abs(xb), axis=1, keepdims=True)
+    view, axis = _blocked_view(x.shape, block)
+    xb = x.astype(jnp.float32).reshape(view)
+    absmax = jnp.max(jnp.abs(xb), axis=axis, keepdims=True)
     safe = jnp.where(absmax > 0, absmax, jnp.float32(1.0))
     y = xb / safe  # in [-1, 1]
     q = jnp.clip(
         jnp.round(127.0 * jnp.sign(y) * jnp.sqrt(jnp.abs(y))), -127, 127
     ).astype(jnp.int8)
-    return _QTensor(q=q, scale=absmax.astype(jnp.float32))
+    return _QTensor(q=q.reshape(x.shape), scale=absmax.astype(jnp.float32))
 
 
 def _dequantize(qt: _QTensor, shape, dtype=jnp.float32) -> jnp.ndarray:
-    qf = qt.q.astype(jnp.float32) * (1.0 / 127.0)
-    flat = (jnp.sign(qf) * qf * qf * qt.scale).reshape(-1)
-    n = 1
-    for d in shape:
-        n *= d
-    return flat[:n].reshape(shape).astype(dtype)
+    view, _ = _blocked_view(tuple(shape), _block_of(qt, shape))
+    qf = qt.q.astype(jnp.float32).reshape(view) * (1.0 / 127.0)
+    x = jnp.sign(qf) * qf * qf * qt.scale
+    return x.reshape(shape).astype(dtype)
+
+
+def _block_of(qt: _QTensor, shape) -> int:
+    """Recover the block size from the stored scale's shape."""
+    if len(shape) == 0:
+        return 1
+    c = shape[-1]
+    if qt.scale.ndim == len(shape) + 1:  # [.., C/block, 1] sub-blocked
+        return c // qt.scale.shape[-2]
+    return c  # one block per row
 
 
 class ScaleByAdam8bitState(NamedTuple):
@@ -96,10 +124,12 @@ def scale_by_adam_8bit(
 
     def init_fn(params):
         def zeros_like_q(p):
-            n_blocks = _pad_len(p.size, block_size) // block_size
+            view, axis = _blocked_view(p.shape, block_size)
+            scale_shape = list(view)
+            scale_shape[axis] = 1
             return _QTensor(
-                q=jnp.zeros((n_blocks, block_size), jnp.int8),
-                scale=jnp.zeros((n_blocks, 1), jnp.float32),
+                q=jnp.zeros(p.shape, jnp.int8),
+                scale=jnp.zeros(tuple(scale_shape), jnp.float32),
             )
 
         mu = jax.tree_util.tree_map(zeros_like_q, params)
