@@ -25,6 +25,14 @@ no staged weights (the "vae" proxy measured non-discriminative in round 3);
 "inception" runs the CANONICAL InceptionV3 pool3 metric through the native
 Flax tower; requires staged weights under data/pretrained/inception/, see
 models/inception.py:load_inception_params.
+
+FID_DEEP_CACHE ("" default; e.g. "3,5") additionally samples the DEFAULT
+stack with DeepCache trunk reuse at each listed interval and reports
+fid(exact, dc{k}) — the QUALITY cost next to DeepCache's measured speed win
+(1.523 vs 1.137 img/s at interval 3 on v5e-1). Those sets use params
+PERTURBED off init (fresh converted weights have reference-style zero-init
+output convs, making the deep trunk a no-op and DeepCache vacuously exact);
+an exact-vs-exact noise floor (independent seeds) anchors the scale.
 """
 
 import json
@@ -161,7 +169,8 @@ def main() -> dict:
     our_vae = AutoEncoderKL.from_config(vae_cfg)
     schedule = make_schedule(DDPMConfig(noise_steps=50))
 
-    def our_sample_set(compat: bool, seed: int):
+    def our_sample_set(compat: bool, seed: int, deep_cache: int = 0, params=None):
+        params = our_unet_params if params is None else params
         if compat:
             cc = CompatConfig(reference_compat=True).resolved()
             unet = UNetModel.from_config(4, 4, unet_cfg, compat=cc)
@@ -174,7 +183,7 @@ def main() -> dict:
             unet = UNetModel.from_config(4, 4, unet_cfg)
             fn = make_sample_fn(
                 unet, schedule, num_steps=steps, sampler="ddim",
-                guidance_scale=7.5,
+                guidance_scale=7.5, deep_cache_interval=deep_cache,
             )
         fn = jax.jit(fn)
         decode = jax.jit(
@@ -191,13 +200,46 @@ def main() -> dict:
             else:
                 x_T = jax.random.normal(k, (b, lat, lat, 4))
             unc = jnp.broadcast_to(jnp.asarray(uncond), ctx.shape)
-            x0 = fn(our_unet_params, x_T, ctx, unc, k)
+            x0 = fn(params, x_T, ctx, unc, k)
             out.extend(np.asarray(decode(our_vae_params, x0), np.float32))
             lats.extend(np.asarray(x0, np.float32))
         return out, lats
 
     compat_images, compat_latents = our_sample_set(compat=True, seed=42)
     default_images, default_latents = our_sample_set(compat=False, seed=42)
+
+    dc_intervals = [
+        int(tok)
+        for tok in os.environ.get("FID_DEEP_CACHE", "").split(",")
+        if tok.strip()
+    ]
+    dc_sets = {}
+    if dc_intervals:
+        # The reference zero-inits its output convs (zero_module on
+        # SpatialTransformer proj_out / ResBlock out conv), so a FRESH
+        # converted UNet's deep trunk contributes NOTHING and DeepCache is
+        # vacuously exact (measured: dc3 bit-identical to exact). Perturb the
+        # params off init — the trained-network regime where trunk reuse has
+        # a real cost — and measure all DC-comparison sets on that copy.
+        pkey = jax.random.PRNGKey(99)
+        leaves = jax.tree_util.tree_leaves_with_path(our_unet_params)
+        pert = jax.tree_util.tree_unflatten(
+            jax.tree_util.tree_structure(our_unet_params),
+            [
+                v + 0.05 * jax.random.normal(
+                    jax.random.fold_in(pkey, i), v.shape, v.dtype
+                )
+                for i, (_, v) in enumerate(leaves)
+            ],
+        )
+        dc_sets["exact"] = our_sample_set(compat=False, seed=42, params=pert)
+        # independent-seed exact set: the sampling-variance noise floor that
+        # anchors how large the DeepCache deltas are
+        dc_sets["floor"] = our_sample_set(compat=False, seed=4242, params=pert)
+        for k in dc_intervals:
+            dc_sets[k] = our_sample_set(
+                compat=False, seed=42, deep_cache=k, params=pert
+            )
 
     # image-space features: the canonical InceptionV3 pool3 tower when
     # requested (and weights staged); default is the FIXED-SEED random
@@ -261,6 +303,40 @@ def main() -> dict:
             fid_from_features(latent_features(ref_latents), latent_features(default_latents))
         ),
     }
+    def pair_rmse(a, b) -> float:
+        # per-sample deviation (same seeds => paired images); FID alone
+        # understates pairwise-correlated error because the mean/cov of the
+        # two sets move together
+        x = np.stack(a).astype(np.float64)
+        y = np.stack(b).astype(np.float64)
+        return float(np.sqrt(np.mean((x - y) ** 2)))
+
+    if dc_sets:
+        base_img, base_lat_raw = dc_sets.pop("exact")
+        base_lat = latent_features(base_lat_raw)
+        floor_img, floor_lat = dc_sets.pop("floor")
+        result["rmse_latent_exact_vs_floor"] = _finite(
+            pair_rmse(base_lat_raw, floor_lat)
+        )
+        result["latent_rms"] = _finite(
+            float(np.sqrt(np.mean(np.square(np.stack(base_lat_raw)))))
+        )
+        result["fid_latent_exact_vs_exact"] = _finite(
+            fid_from_features(base_lat, latent_features(floor_lat))
+        )
+        result["fid_exact_vs_exact"] = _finite(
+            fid_between(extractor, base_img, floor_img)
+        )
+        for k, (dc_img, dc_lat) in dc_sets.items():
+            result[f"fid_latent_exact_vs_dc{k}"] = _finite(
+                fid_from_features(base_lat, latent_features(dc_lat))
+            )
+            result[f"fid_exact_vs_dc{k}"] = _finite(
+                fid_between(extractor, base_img, dc_img)
+            )
+            result[f"rmse_latent_exact_vs_dc{k}"] = _finite(
+                pair_rmse(base_lat_raw, dc_lat)
+            )
     print(json.dumps(result), flush=True)
     return result
 
