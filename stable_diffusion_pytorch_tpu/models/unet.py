@@ -21,6 +21,7 @@ default to 2 when ``bottleneck_default_groups`` compat is on (utils.py:112).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass, field
 from typing import List, Optional, Sequence, Tuple
 
@@ -318,7 +319,12 @@ class UNetModel(nn.Module):
             _, _, oc, attn, upsample = entry
             # skip concat handled INSIDE ResBlock (group_norm_cat + split 1x1
             # residual): the raw concat never materializes in HBM — see
-            # blocks.ResBlock docstring (ref: unet.py:306-309 concatenates)
+            # blocks.ResBlock docstring (ref: unet.py:306-309 concatenates).
+            # SD_MATERIALIZE_SKIP_CONCAT=1 restores the materialized concat
+            # (identical params/outputs) for same-session hardware A/Bs.
+            if os.environ.get("SD_MATERIALIZE_SKIP_CONCAT") == "1":
+                x = jnp.concatenate([x, skip], axis=-1)
+                skip = None
             x = res_cls(
                 out_channels=oc,
                 time_emb_dim=t_dim,

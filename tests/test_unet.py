@@ -99,3 +99,23 @@ def test_unet_no_context_dim_assertion():
     bad_ctx = jnp.ones((1, 77, 100))
     with pytest.raises(AssertionError):
         unet.init(KEY, x, t, bad_ctx)
+
+
+def test_materialized_skip_concat_env_gate_is_exact(monkeypatch):
+    """SD_MATERIALIZE_SKIP_CONCAT=1 (the hardware-A/B escape hatch for the
+    concat-free up path) must reproduce the default path bit-for-bit — same
+    params, same outputs."""
+    unet = tiny_unet()
+    x = jax.random.normal(KEY, (2, 8, 8, 4))
+    t = jnp.array([3, 40], jnp.int32)
+    ctx = jax.random.normal(KEY, (2, 7, 768))
+    params = unet.init(KEY, x, t, ctx)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(KEY, p.shape, p.dtype), params
+    )
+    eps_default = unet.apply(params, x, t, ctx)
+    monkeypatch.setenv("SD_MATERIALIZE_SKIP_CONCAT", "1")
+    eps_concat = unet.apply(params, x, t, ctx)
+    assert jnp.array_equal(eps_default, eps_concat) or jnp.allclose(
+        eps_default, eps_concat, atol=1e-6, rtol=1e-6
+    )
