@@ -8,6 +8,7 @@ line like bench.py.
 
 Env: TB_BATCH (8), TB_REPEATS (5), TB_REMAT (0), TB_PRESET (sd15|reference),
 TB_MU_DTYPE (f32|bf16) to A/B the AdamW first-moment dtype (HBM-traffic lever),
+TB_NU_DTYPE (f32|bf16) same for the second moment (fused optimizer only),
 TB_OPT (fused [default, matches the trainer] | optax | 8bit),
 TB_ACCUM (1; >1 wraps the optimizer in gradient accumulation — fused ->
 fused_accumulate, optax/8bit -> optax.MultiSteps — and times micro steps;
@@ -110,6 +111,11 @@ def main():
             1e-5,
             max_grad_norm=1.0,
             mu_dtype=jnp.bfloat16 if mu_dtype == "bf16" else None,
+            nu_dtype=(
+                jnp.bfloat16
+                if os.environ.get("TB_NU_DTYPE", "f32") == "bf16"
+                else None
+            ),
         )
     accum = int(os.environ.get("TB_ACCUM", "1"))
     if accum > 1:
