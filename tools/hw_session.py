@@ -75,6 +75,16 @@ PHASES = [
     ("refscale_spd8", REFSCALE_ARGS + ["--steps-per-dispatch", "8"],
      {"SD_TRAIN_PROFILE": "1"}, 3600, "profile"),
     ("autotune_sample", ["tools/autotune.py"], {}, 9000, "json"),
+    # flash-block ladder across the resolution range (hires-fix path included);
+    # each point is a fresh remote compile, so points are coarse and phases
+    # separate (resumable). 256px has only 1024 kv tokens — small blocks only.
+    ("autotune_256", ["tools/autotune.py"],
+     {"BENCH_RES": "256", "AT_POINTS": "256,512,1024"}, 9000, "json"),
+    ("autotune_768", ["tools/autotune.py"],
+     {"BENCH_RES": "768", "AT_POINTS": "256,384,512"}, 9000, "json"),
+    ("autotune_1024", ["tools/autotune.py"],
+     {"BENCH_RES": "1024", "AT_POINTS": "192,256,384", "BENCH_BATCH": "2"},
+     9000, "json"),
 ]
 
 _PROFILE_RE = re.compile(r"SD_TRAIN_PROFILE phase breakdown \(ms\): (.*)")
