@@ -127,3 +127,48 @@ def test_build_optimizer_uses_8bit_when_flagged():
     assert int8_leaves, "use_8bit_adam must produce int8 optimizer state"
     updates, _ = tx.update({"w": jnp.ones((300,))}, state, params)
     assert updates["w"].shape == (300,)
+
+
+def test_8bit_state_shards_under_zero_mesh():
+    """The layout-preserving _QTensor (param-shaped int8 codes + lane-blocked
+    absmax) must shard under zero_shardings and produce the same update as the
+    unsharded optimizer — the round-4 layout's design goal is that quantized
+    moments shard along the same axes as their parameters."""
+    from jax.sharding import Mesh
+    from stable_diffusion_pytorch_tpu.parallel.mesh import zero_shardings
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs the 8-device virtual mesh")
+    mesh = Mesh(np.array(jax.devices()[:8]), ("data",))
+
+    params = {
+        "conv": jax.random.normal(KEY, (3, 3, 16, 64)),
+        "bias": jax.random.normal(jax.random.PRNGKey(1), (64,)),
+        "proj": jax.random.normal(jax.random.PRNGKey(2), (40, 512)),
+    }
+    grads = jax.tree_util.tree_map(
+        lambda p: 0.1 * jnp.ones_like(p), params
+    )
+    tx = adamw_8bit(1e-3, weight_decay=0.01)
+    state = tx.init(params)
+
+    @jax.jit
+    def step(params, state, g):
+        updates, state = tx.update(g, state, params)
+        return optax.apply_updates(params, updates), state
+
+    p_ref, s_ref = step(params, state, grads)
+
+    shardings = zero_shardings(mesh, state)
+    # every large leaf must actually shard (not fall back to replication)
+    q_conv = shardings[0].mu["conv"].q.spec  # ScaleByAdam8bitState.mu
+    assert any(ax is not None for ax in q_conv), "conv codes must shard"
+    state_sharded = jax.device_put(state, shardings)
+    p_sh, s_sh = step(params, state_sharded, grads)
+
+    np.testing.assert_allclose(
+        np.asarray(p_ref["conv"]), np.asarray(p_sh["conv"]), rtol=1e-6, atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(p_ref["proj"]), np.asarray(p_sh["proj"]), rtol=1e-6, atol=1e-6
+    )
