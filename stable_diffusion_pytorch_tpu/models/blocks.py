@@ -25,7 +25,7 @@ Design notes (TPU-first, not a translation):
 from __future__ import annotations
 
 import math
-from typing import Optional
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -168,19 +168,21 @@ def conv1x1(
     )
 
 
-class _Conv3x3Params(nn.Module):
-    """Holds a canonical [3, 3, C_in, C_out] conv kernel + bias under the same
-    param names nn.Conv would create (so checkpoints/converters are unchanged)
-    while letting the caller apply the weights in a transformed form."""
+class _ConvParams(nn.Module):
+    """Holds a canonical [kh, kw, C_in, C_out] conv kernel + bias under the
+    same param names nn.Conv would create (so checkpoints/converters are
+    unchanged) while letting the caller apply the weights in a transformed
+    form (phase-decomposed UpSample, split-residual skip_cat)."""
 
     features: int
+    kernel_hw: Tuple[int, int] = (3, 3)
 
     @nn.compact
     def __call__(self, in_ch: int):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (3, 3, in_ch, self.features),
+            self.kernel_hw + (in_ch, self.features),
             jnp.float32,
         )
         bias = self.param("bias", zeros_init, (self.features,), jnp.float32)
@@ -223,7 +225,7 @@ class UpSample(nn.Module):
             )
             return conv3x3(out_ch, dtype=self.dtype, name="conv")(x)
 
-        kernel, bias = _Conv3x3Params(out_ch, name="conv")(c)
+        kernel, bias = _ConvParams(out_ch, name="conv")(c)
         a = jnp.asarray(_PHASE_A)
         # [2(p), 2(q), C_in, 2(di), 2(dj), C_out] — phase kernels in f32
         k4 = jnp.einsum("dpk,eql,klio->pqideo", a, a, kernel)
@@ -261,24 +263,6 @@ class DownSample(nn.Module):
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         out_ch = self.out_channels or x.shape[-1]
         return conv3x3(out_ch, stride=2, dtype=self.dtype, name="conv")(x)
-
-
-class _Conv1x1Params(nn.Module):
-    """Canonical [1, 1, C_in, C_out] conv kernel + bias under the names nn.Conv
-    would create, applied by the caller in a transformed (split) form."""
-
-    features: int
-
-    @nn.compact
-    def __call__(self, in_ch: int):
-        kernel = self.param(
-            "kernel",
-            nn.initializers.lecun_normal(),
-            (1, 1, in_ch, self.features),
-            jnp.float32,
-        )
-        bias = self.param("bias", zeros_init, (self.features,), jnp.float32)
-        return kernel, bias
 
 
 class ResBlock(nn.Module):
@@ -338,7 +322,9 @@ class ResBlock(nn.Module):
                 x = conv1x1(out_ch, dtype=self.dtype, name="skip")(x)
             return h + x
         if in_ch != out_ch:
-            kernel, kbias = _Conv1x1Params(out_ch, name="skip")(in_ch)
+            kernel, kbias = _ConvParams(
+                out_ch, kernel_hw=(1, 1), name="skip"
+            )(in_ch)
             kernel = kernel[0, 0].astype(self.dtype)  # [C_in, C_out]
             res = (
                 jnp.dot(x.astype(self.dtype), kernel[:c1])

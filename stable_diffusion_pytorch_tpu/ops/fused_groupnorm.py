@@ -33,6 +33,13 @@ from jax.experimental.pallas import tpu as pltpu
 # the input under ~1.8MB to stay inside the 16MB VMEM.
 _VMEM_BYTES_LIMIT = int(1.8 * 1024 * 1024)
 
+# The cat kernel holds MORE per input byte: the two f32 part-casts AND their
+# f32 concatenation coexist (if Mosaic does not alias the casts into the
+# concat) — ~10x the bf16 input vs the single-input kernel's ~8x. A separate,
+# tighter budget keeps the worst case inside the 16MB scope; 1.5MB still
+# admits the flagship 1280+1280 @ 16x16 up-path maps (1.31MB bf16 input).
+_VMEM_CAT_BYTES_LIMIT = int(1.5 * 1024 * 1024)
+
 
 def _gn_kernel(x_ref, scale_ref, bias_ref, memb_ref, o_ref, *, eps, silu, group_size):
     x = x_ref[0].astype(jnp.float32)  # [S, C]
@@ -228,7 +235,7 @@ def pallas_group_norm_cat(
     assert x.shape[:-1] == x2.shape[:-1], (x.shape, x2.shape)
     assert c % num_groups == 0
 
-    if s * c * x.dtype.itemsize > _VMEM_BYTES_LIMIT:
+    if s * c * x.dtype.itemsize > _VMEM_CAT_BYTES_LIMIT:
         raise ValueError("feature map too large for the fused GN cat kernel")
     if c1 % 128 != 0 or c2 % 128 != 0 or s % 8 != 0:
         raise ValueError("unaligned shape for the fused GN cat kernel")

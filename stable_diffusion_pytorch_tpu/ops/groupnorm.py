@@ -238,7 +238,9 @@ def xla_group_norm_cat(
 
 
 def _pallas_cat_eligible(x: jnp.ndarray, s: jnp.ndarray) -> bool:
-    from stable_diffusion_pytorch_tpu.ops.fused_groupnorm import _VMEM_BYTES_LIMIT
+    from stable_diffusion_pytorch_tpu.ops.fused_groupnorm import (
+        _VMEM_CAT_BYTES_LIMIT,
+    )
 
     c1, c2 = x.shape[-1], s.shape[-1]
     sp = int(np.prod(x.shape[1:-1]))
@@ -246,7 +248,7 @@ def _pallas_cat_eligible(x: jnp.ndarray, s: jnp.ndarray) -> bool:
         c1 % 128 == 0
         and c2 % 128 == 0
         and sp % 8 == 0
-        and sp * (c1 + c2) * x.dtype.itemsize <= _VMEM_BYTES_LIMIT
+        and sp * (c1 + c2) * x.dtype.itemsize <= _VMEM_CAT_BYTES_LIMIT
     )
 
 
@@ -291,8 +293,14 @@ def group_norm_cat(
 ) -> jnp.ndarray:
     """GroupNorm(+SiLU) over the virtual concat(x, s): returns the normalized
     [..., C1+C2] tensor without materializing the raw concatenation."""
-    if _use_pallas() and _pallas_cat_eligible(x, s):
-        return _fused_group_norm_cat(
-            x, s, scale, bias, num_groups, eps, apply_silu
-        )
+    if _use_pallas():
+        eligible = _pallas_cat_eligible(x, s)
+        if _IMPL == "pallas" and not eligible:
+            # forced-pallas must not silently validate the XLA path (tests
+            # pinning the kernel rely on this, same contract as group_norm)
+            raise ValueError("shape not eligible for the fused GN cat kernel")
+        if eligible:
+            return _fused_group_norm_cat(
+                x, s, scale, bias, num_groups, eps, apply_silu
+            )
     return xla_group_norm_cat(x, s, scale, bias, num_groups, eps, apply_silu)

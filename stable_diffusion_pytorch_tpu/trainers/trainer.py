@@ -394,6 +394,11 @@ class Trainer:
                 # first chunk so summary_ms reflects steady state
                 chain_warm = getattr(self, "_chain_warm", False)
                 self._chain_warm = True
+                if not chain_warm:
+                    # keep the compile-inflated first chunk separately so a
+                    # run that fits in ONE chunk still reports step timing
+                    # (marked as such) instead of an empty summary
+                    self._chain_first_per_disp = per_disp
                 for i in range(chunk_micros):
                     if chain_warm:
                         step_timer.add(per_disp)
@@ -644,12 +649,22 @@ class Trainer:
                 path = self.ckpt_manager.save(global_step, self.state, epoch=epoch)
                 self.logger.info(f"Saved state to {path}")
 
-        if phases is not None and phases.samples:
-            summary = phases.summary_ms()
-            self.logger.info(
-                "SD_TRAIN_PROFILE phase breakdown (ms): "
-                + ", ".join(f"{k}={v:.1f}" for k, v in summary.items())
-            )
+        if phases is not None:
+            # StepTimer stats included so the one-line breakdown carries the
+            # headline step_ms_p50 (tools/hw_session.py parses this line for
+            # the chained-dispatch A/B)
+            summary = {**step_timer.summary_ms(), **phases.summary_ms()}
+            if not summary and getattr(self, "_chain_first_per_disp", None):
+                summary = {
+                    "step_ms_p50_compile_inflated": (
+                        self._chain_first_per_disp * 1e3
+                    )
+                }
+            if summary:
+                self.logger.info(
+                    "SD_TRAIN_PROFILE phase breakdown (ms): "
+                    + ", ".join(f"{k}={v:.1f}" for k, v in summary.items())
+                )
         self.tracker.finish()
 
     def evaluate(self, global_step: int) -> Optional[float]:

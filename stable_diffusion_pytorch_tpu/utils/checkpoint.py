@@ -80,11 +80,16 @@ def restore_checkpoint(path: str, abstract_state: Any) -> Any:
         )
     except Exception as e:  # noqa: BLE001 - re-raise with diagnosis
         msg = str(e)
+        # match narrowly: only messages that name a tree/structure/shape
+        # disagreement — a bare "missing"/"not found" (corrupt or partially
+        # written checkpoint, missing metadata file) is NOT a layout issue
+        # and must not steer the operator toward flipping optimizer flags
         looks_structural = any(
             s in msg.lower()
-            for s in ("structure", "mismatch", "tree", "not found in checkpoint",
-                      "missing", "does not match")
-        )
+            for s in ("tree structure", "pytreedef", "structure mismatch",
+                      "structures do not match", "shape mismatch",
+                      "does not match the structure")
+        ) or ("structure" in msg.lower() and "mismatch" in msg.lower())
         if looks_structural:
             raise RuntimeError(
                 f"checkpoint restore from {path} failed with a pytree "
@@ -95,7 +100,10 @@ def restore_checkpoint(path: str, abstract_state: Any) -> Any:
                 "checkpoints need the default. Moment-dtype flags "
                 "(--adam-mu-dtype/--adam-nu-dtype/--use-8bit-adam) and "
                 "--gradient-accumulation-steps>1 also change the layout and "
-                "must match the saving run.\n"
+                "must match the saving run. Note: the int8-Adam moment "
+                "storage layout changed in round 4 (parameter-shaped codes); "
+                "--use-8bit-adam checkpoints saved before that change cannot "
+                "be restored by this version.\n"
                 f"Underlying orbax error: {msg}"
             ) from e
         raise

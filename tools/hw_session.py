@@ -159,6 +159,12 @@ def _run_phase(name, argv, env_up, timeout_s, parser) -> dict:
         return {"phase": name, "ok": False, "rc": p.returncode,
                 "error": " | ".join(tail)[-500:],
                 "wall_s": round(time.time() - t0, 1)}
+    if name.startswith("autotune") and result.get("best") is None:
+        # autotune exits 0 even when every sweep point failed (e.g. the
+        # tunnel dropped mid-session); recording ok would skip the ladder
+        # forever on resume
+        return {"phase": name, "ok": False, "error": "no_valid_points",
+                "result": result, "wall_s": round(time.time() - t0, 1)}
     return {"phase": name, "ok": True, "result": result, "env": env_up,
             "wall_s": round(time.time() - t0, 1)}
 

@@ -126,7 +126,6 @@ def _phase(max_batch: int, steps: int, size: int, n_requests: int,
         # covers bucket 1; a concurrent burst covers the larger buckets)
         _post(srv.url + "/txt2img", {"prompt": "warm", "seed": 1})
         _run_load(srv.url, warm_requests, n_clients, "warm")
-        before = time.perf_counter()
         lat, errors, wall = _run_load(srv.url, n_requests, n_clients, "load")
         with urllib.request.urlopen(srv.url + "/healthz", timeout=30) as resp:
             health = json.loads(resp.read())
@@ -149,8 +148,6 @@ def _phase(max_batch: int, steps: int, size: int, n_requests: int,
 def _hot_swap_under_load(steps: int, size: int, n_clients: int, tmpdir: str):
     """Fire a /reload mid-stream; every sampling request must still succeed
     and the swap must actually change the output image."""
-    import numpy as np
-
     import jax
 
     srv = _Server(max_batch=4, steps=steps, size=size)
@@ -194,13 +191,17 @@ def _hot_swap_under_load(steps: int, size: int, n_clients: int, tmpdir: str):
         threads = [threading.Thread(target=client, args=(c,)) for c in range(n_clients)]
         for t in threads:
             t.start()
-        time.sleep(1.0)  # load flowing
-        t_swap0 = time.perf_counter()
-        status, body = _post(srv.url + "/reload", {"unet_checkpoint": ckpt})
-        swap_s = time.perf_counter() - t_swap0
-        reload_ok = status == 200 and json.loads(body)["status"] == "reloaded"
-        time.sleep(1.0)  # load continues post-swap
-        stop.set()
+        try:
+            time.sleep(1.0)  # load flowing
+            t_swap0 = time.perf_counter()
+            status, body = _post(srv.url + "/reload", {"unet_checkpoint": ckpt})
+            swap_s = time.perf_counter() - t_swap0
+            reload_ok = status == 200 and json.loads(body)["status"] == "reloaded"
+            time.sleep(1.0)  # load continues post-swap
+        finally:
+            # a failed /reload must still release the client threads — they
+            # are non-daemon and would spin (and grow errors[]) forever
+            stop.set()
         for t in threads:
             t.join(timeout=300)
 
@@ -213,10 +214,7 @@ def _hot_swap_under_load(steps: int, size: int, n_clients: int, tmpdir: str):
             "p95_during_swap_s": (
                 round(_percentile(results["lat"], 95), 3) if results["lat"] else None
             ),
-            "weights_changed_output": bool(
-                np.frombuffer(img_before, np.uint8).tobytes()
-                != np.frombuffer(img_after, np.uint8).tobytes()
-            ),
+            "weights_changed_output": img_before != img_after,
         }
     finally:
         srv.close()
