@@ -67,6 +67,27 @@ def _fa_kernel(q_ref, k_ref, v_ref, o_ref, *, kv_len: int, use_exp2: bool):
 # 0.973 -> 0.995 img/s end-to-end); still fits VMEM with f32 score tiles
 DEFAULT_BLOCK_N = 512
 
+# --- BEGIN AUTOTUNE TABLE (rewritten by tools/bake_autotune.py) ---
+# Measured best q-block by self-attention token count (v5e-1, bf16,
+# end-to-end bench.py sweep; HW_SESSION_r04.jsonl autotune_* phases).
+# Keys are the LARGEST self-attention q length in the swept program
+# ((res/8)^2 latent tokens); empty until a hardware sweep is baked.
+_TUNED_BLOCK_N: dict = {}
+# --- END AUTOTUNE TABLE ---
+
+
+def _tuned_block_n(n: int) -> Optional[int]:
+    """Measured block for the bucket covering n q-tokens (largest measured
+    token count <= n; the smallest bucket covers everything below it)."""
+    if not _TUNED_BLOCK_N:
+        return None
+    keys = sorted(_TUNED_BLOCK_N)
+    best = keys[0]
+    for k in keys:
+        if k <= n:
+            best = k
+    return _TUNED_BLOCK_N[best]
+
 # per-tile working set the Mosaic compiler tolerates before VMEM overflow:
 # resident K+V + one f32 score tile (p reuses s's buffer) + q/out double
 # buffers. 12MB leaves headroom under the 16MB scoped limit.
@@ -94,11 +115,15 @@ def _flash_fwd_impl(
     interpret: bool,
     block_n: int = 0,
 ) -> jnp.ndarray:
+    b, n, h, d = q.shape
     if block_n <= 0:
         import os
 
-        block_n = int(os.environ.get("SD_FLASH_BLOCK_N", DEFAULT_BLOCK_N))
-    b, n, h, d = q.shape
+        env = os.environ.get("SD_FLASH_BLOCK_N")
+        if env:
+            block_n = int(env)
+        else:
+            block_n = _tuned_block_n(n) or DEFAULT_BLOCK_N
     m = k.shape[1]
     dtype = q.dtype
 

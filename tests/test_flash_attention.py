@@ -133,3 +133,71 @@ def test_forced_pallas_reraises(monkeypatch):
             )
     finally:
         A.set_attention_impl("auto")
+
+
+def test_tuned_block_table_chooser(monkeypatch):
+    """The baked autotune table drives the q-block choice by token count:
+    largest measured bucket <= n wins; the smallest bucket covers below."""
+    from stable_diffusion_pytorch_tpu.ops import flash_attention as fa
+
+    monkeypatch.setattr(
+        fa, "_TUNED_BLOCK_N", {1024: 256, 4096: 512, 9216: 384}
+    )
+    assert fa._tuned_block_n(4096) == 512
+    assert fa._tuned_block_n(9216) == 384
+    assert fa._tuned_block_n(16384) == 384  # above all buckets: largest key
+    assert fa._tuned_block_n(2000) == 256   # between buckets: floor bucket
+    assert fa._tuned_block_n(64) == 256     # below all buckets: smallest
+    monkeypatch.setattr(fa, "_TUNED_BLOCK_N", {})
+    assert fa._tuned_block_n(4096) is None  # unbaked: fall to DEFAULT_BLOCK_N
+
+
+def test_bake_autotune_roundtrip(tmp_path, monkeypatch):
+    """bake_autotune parses hw-session autotune records and rewrites the
+    marked table block; the rewritten module still parses and carries the
+    measured entries."""
+    import importlib.util
+    import json
+    import shutil
+
+    spec = importlib.util.spec_from_file_location(
+        "bake_autotune", "tools/bake_autotune.py"
+    )
+    bake = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bake)
+
+    session = tmp_path / "hw.jsonl"
+    recs = [
+        {"phase": "headline", "ok": True, "result": {"value": 1.1}},
+        {
+            "phase": "autotune_sample", "ok": True, "env": {},
+            "result": {"results": [
+                {"point": 256, "value": 1.05},
+                {"point": 512, "value": 1.14},
+            ]},
+        },
+        {
+            "phase": "autotune_256", "ok": True, "env": {"BENCH_RES": "256"},
+            "result": {"results": [
+                {"point": 256, "value": 9.0},
+                {"point": 512, "value": 8.1},
+                {"point": 1024, "error": "oom"},
+            ]},
+        },
+        {"phase": "autotune_768", "ok": False, "error": "tunnel_down"},
+    ]
+    session.write_text("\n".join(json.dumps(r) for r in recs) + "\n")
+
+    table = bake.collect(str(session))
+    assert table == {4096: (512, 1.14, 512), 1024: (256, 9.0, 256)}
+
+    target = tmp_path / "flash_attention.py"
+    shutil.copy(bake.KERNEL, target)
+    monkeypatch.setattr(bake, "KERNEL", str(target))
+    monkeypatch.setattr(
+        "sys.argv", ["bake_autotune.py", str(session)]
+    )
+    bake.main()
+    src = target.read_text()
+    assert "1024: 256," in src and "4096: 512," in src
+    compile(src, str(target), "exec")  # rewritten module still valid python

@@ -58,7 +58,9 @@ REFSCALE_ARGS = [
 
 PHASES = [
     # (name, argv, env updates, timeout_s, parser)
-    ("headline", ["bench.py"], {"BENCH_ATTACH_TIMEOUT_S": "90"}, 2700, "json"),
+    # attach can take 70-95s through a slow-but-alive tunnel (measured
+    # 2026-08-18); 300s still fails fast when the tunnel is truly down
+    ("headline", ["bench.py"], {"BENCH_ATTACH_TIMEOUT_S": "300"}, 2700, "json"),
     ("headline_concat_mat", ["bench.py"],
      {"SD_MATERIALIZE_SKIP_CONCAT": "1"}, 2700, "json"),
     ("deepcache3", ["bench.py"], {"BENCH_DEEP_CACHE": "3"}, 2700, "json"),
