@@ -38,6 +38,13 @@ BOTH directions every step. Parameter-shaped codes eliminate the relayout
 entirely (quantize is then a lane-dim reduce + elementwise, which XLA fuses
 into the update), and as a bonus shard under ZeRO/FSDP along the exact same
 axes as their parameters.
+
+KERNEL (round 4): the relayout fix alone did NOT close the gap (365 vs
+309 ms measured) — XLA still materializes both f32 moments to HBM around
+the absmax reduction. Large leaves therefore dispatch to the one-pass
+Pallas kernel (ops/adam8bit_update.py: dequant -> update -> requant with
+moments VMEM-resident); small/unaligned leaves keep the XLA path below.
+``SD_ADAM8BIT_KERNEL={auto,pallas,xla}`` selects (auto = size-gated).
 """
 
 from __future__ import annotations
@@ -48,6 +55,8 @@ import chex
 import jax
 import jax.numpy as jnp
 import optax
+
+from stable_diffusion_pytorch_tpu.ops import adam8bit_update as kernels
 
 
 class _QTensor(NamedTuple):
@@ -143,6 +152,19 @@ def scale_by_adam_8bit(
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
 
         def leaf_update(g, mu_q, nu_q):
+            if kernels.use_pallas_for(g.shape, g.size):
+                # one-pass Pallas dequant->update->requant: the f32 moments
+                # never touch HBM (ops/adam8bit_update.py). Numerics are
+                # identical to the XLA path below (same op order); tested.
+                try:
+                    upd, nmq, nms, nnq, nns = kernels.fused_adam8bit_update(
+                        g, mu_q.q, mu_q.scale, nu_q.q, nu_q.scale, bc1, bc2,
+                        b1=b1, b2=b2, eps=eps, block_size=block_size,
+                    )
+                    return upd, _QTensor(nmq, nms), _QTensor(nnq, nns)
+                except ValueError:
+                    pass  # no aligned row tiling: fall through to XLA
+            kernels._counters["xla"] += 1
             g32 = g.astype(jnp.float32)
             mu = b1 * _dequantize(mu_q, g.shape) + (1.0 - b1) * g32
             nu_prev = _dequantize(nu_q, g.shape) ** 2  # sqrt-domain storage

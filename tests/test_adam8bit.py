@@ -172,3 +172,116 @@ def test_8bit_state_shards_under_zero_mesh():
     np.testing.assert_allclose(
         np.asarray(p_ref["proj"]), np.asarray(p_sh["proj"]), rtol=1e-6, atol=1e-6
     )
+
+
+# ---------------------------------------------------------------------------
+# Fused Pallas update kernel (ops/adam8bit_update.py): one-pass
+# dequant -> moment update -> requant; numerics must match the XLA path.
+# ---------------------------------------------------------------------------
+
+from stable_diffusion_pytorch_tpu.ops import adam8bit_update as kern
+from stable_diffusion_pytorch_tpu.trainers import adam8bit as a8
+
+
+def _xla_leaf_update(g, mu_q, nu_q, bc1, bc2, b1=0.9, b2=0.999, eps=1e-8,
+                     block=256):
+    g32 = g.astype(jnp.float32)
+    mu = b1 * _dequantize(mu_q, g.shape) + (1.0 - b1) * g32
+    nu = b2 * _dequantize(nu_q, g.shape) ** 2 + (1.0 - b2) * g32 * g32
+    upd = (mu / bc1) / (jnp.sqrt(nu / bc2) + eps)
+    return (upd.astype(g.dtype), _quantize(mu, block),
+            _quantize(jnp.sqrt(nu), block))
+
+
+@pytest.mark.parametrize(
+    "shape",
+    [
+        (64, 512),      # sub-blocked lanes (nb=2), single VMEM block
+        (4, 64, 320),   # per-row absmax (320 not divisible by 256), 3-D view
+        (1024, 512),    # forces row tiling (exceeds the VMEM budget)
+    ],
+)
+def test_fused_kernel_matches_xla_leaf(shape):
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(7), 3)
+    g = jax.random.normal(k1, shape, jnp.float32) * 0.02
+    mu0 = jax.random.normal(k2, shape, jnp.float32) * 0.01
+    nu0 = jnp.abs(jax.random.normal(k3, shape, jnp.float32)) * 1e-4
+    mu_q = _quantize(mu0, 256)
+    nu_q = _quantize(jnp.sqrt(nu0), 256)
+    bc1 = jnp.float32(1.0 - 0.9**3)
+    bc2 = jnp.float32(1.0 - 0.999**3)
+
+    upd_ref, nmu_ref, nnu_ref = _xla_leaf_update(g, mu_q, nu_q, bc1, bc2)
+    upd, nmq, nms, nnq, nns = kern.fused_adam8bit_update(
+        g, mu_q.q, mu_q.scale, nu_q.q, nu_q.scale, bc1, bc2,
+        b1=0.9, b2=0.999, eps=1e-8, block_size=256, interpret=True,
+    )
+    np.testing.assert_allclose(np.asarray(upd), np.asarray(upd_ref),
+                               rtol=1e-6, atol=1e-7)
+    # codes may differ by 1 where round() sits on a half-ulp boundary; the
+    # dequantized values are what Adam consumes
+    np.testing.assert_allclose(
+        np.asarray(_dequantize(a8._QTensor(nmq, nms), shape)),
+        np.asarray(_dequantize(nmu_ref, shape)), rtol=1e-5, atol=1e-8,
+    )
+    np.testing.assert_allclose(
+        np.asarray(_dequantize(a8._QTensor(nnq, nns), shape)),
+        np.asarray(_dequantize(nnu_ref, shape)), rtol=1e-5, atol=1e-8,
+    )
+    assert nmq.dtype == jnp.int8 and nnq.dtype == jnp.int8
+    assert nms.shape == mu_q.scale.shape and nns.shape == nu_q.scale.shape
+
+
+def test_fused_kernel_dispatch_gate(monkeypatch):
+    # auto: small leaves and 1-D leaves stay on XLA
+    assert not kern.use_pallas_for((128,), 128)
+    assert not kern.use_pallas_for((16, 16), 256)
+    assert kern.use_pallas_for((512, 512), 512 * 512)
+    monkeypatch.setenv("SD_ADAM8BIT_KERNEL", "xla")
+    assert not kern.use_pallas_for((512, 512), 512 * 512)
+    monkeypatch.setenv("SD_ADAM8BIT_KERNEL", "pallas")
+    assert kern.use_pallas_for((16, 16), 256)
+
+
+def test_fused_kernel_unaligned_rows_raise():
+    # rows=1000 has no 32-multiple divisor under the VMEM cap at C=1280:
+    # fused path must refuse so the optimizer falls back to XLA
+    assert kern._row_tile(1000, 1280) == -1
+    g = jnp.zeros((1000, 1280), jnp.float32)
+    qt = _quantize(g, 256)
+    with pytest.raises(ValueError):
+        kern.fused_adam8bit_update(
+            g, qt.q, qt.scale, qt.q, qt.scale,
+            jnp.float32(0.1), jnp.float32(0.001),
+            b1=0.9, b2=0.999, eps=1e-8, block_size=256, interpret=True,
+        )
+
+
+def test_optimizer_end_to_end_with_kernel(monkeypatch):
+    """scale_by_adam_8bit produces the same trajectory with the Pallas
+    kernel forced on (interpret mode on CPU) as with it forced off."""
+    params = {
+        "w": jax.random.normal(jax.random.PRNGKey(0), (96, 512)) * 0.1,
+        "b": jnp.zeros((512,)),
+    }
+
+    def run(mode):
+        monkeypatch.setenv("SD_ADAM8BIT_KERNEL", mode)
+        tx = scale_by_adam_8bit()
+        state = tx.init(params)
+        p = params
+        for i in range(3):
+            g = jax.tree_util.tree_map(
+                lambda x: 0.01 * (i + 1) * jnp.ones_like(x), p
+            )
+            upd, state = tx.update(g, state)
+            p = optax.apply_updates(p, jax.tree_util.tree_map(
+                lambda u: -1e-3 * u, upd))
+        return p
+
+    p_xla = run("xla")
+    p_pal = run("pallas")
+    np.testing.assert_allclose(np.asarray(p_xla["w"]), np.asarray(p_pal["w"]),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(p_xla["b"]), np.asarray(p_pal["b"]),
+                               rtol=1e-6, atol=1e-7)

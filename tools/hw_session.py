@@ -72,6 +72,13 @@ PHASES = [
     ("train_mu_nu_bf16", ["tools/bench_train.py"],
      {"TB_MU_DTYPE": "bf16", "TB_NU_DTYPE": "bf16"}, 2700, "json"),
     ("train_8bit", ["tools/bench_train.py"], {"TB_OPT": "8bit"}, 2700, "json"),
+    # fused Pallas int8 update (ops/adam8bit_update.py) vs the XLA lowering:
+    # train_8bit above predates the kernel (= the xla path); the explicit
+    # SD_ADAM8BIT_KERNEL pin keeps the pair honest if phases are re-run
+    ("train_8bit_kernel", ["tools/bench_train.py"],
+     {"TB_OPT": "8bit", "SD_ADAM8BIT_KERNEL": "auto"}, 2700, "json"),
+    ("train_8bit_xla", ["tools/bench_train.py"],
+     {"TB_OPT": "8bit", "SD_ADAM8BIT_KERNEL": "xla"}, 2700, "json"),
     ("refscale_spd1", REFSCALE_ARGS + ["--steps-per-dispatch", "1"],
      {"SD_TRAIN_PROFILE": "1"}, 3600, "profile"),
     ("refscale_spd8", REFSCALE_ARGS + ["--steps-per-dispatch", "8"],
@@ -197,6 +204,8 @@ def _summarize(done: dict) -> dict:
             ("train_nu_bf16", "nu_bf16"),
             ("train_mu_nu_bf16", "mu_nu_bf16"),
             ("train_8bit", "adam8bit"),
+            ("train_8bit_kernel", "adam8bit_kernel"),
+            ("train_8bit_xla", "adam8bit_xla"),
         ]:
             v = val(k, "step_ms_p50")
             if v:
