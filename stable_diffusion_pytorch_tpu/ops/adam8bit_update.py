@@ -59,7 +59,16 @@ def _mode() -> str:
 
 
 def use_pallas_for(shape, numel: int) -> bool:
-    """Gate: Pallas for large >=2-D leaves unless SD_ADAM8BIT_KERNEL=xla."""
+    """Gate: Pallas for large >=2-D leaves unless SD_ADAM8BIT_KERNEL=xla.
+
+    Auto mode additionally requires a single-device process: under pjit
+    with ZeRO/FSDP-sharded moments the Pallas custom call cannot be
+    auto-partitioned by SPMD (it would force a gather of the very state
+    the sharding is meant to split), so multi-device programs keep the XLA
+    lowering, which partitions elementwise. ``SD_ADAM8BIT_KERNEL=pallas``
+    overrides for single-device-per-leaf layouts the caller knows are safe
+    (e.g. fully-replicated state or an outer shard_map).
+    """
     mode = _mode()
     if mode == "xla":
         return False
@@ -67,7 +76,7 @@ def use_pallas_for(shape, numel: int) -> bool:
         return False
     if mode == "pallas":
         return True
-    return numel >= MIN_PALLAS_ELEMS
+    return numel >= MIN_PALLAS_ELEMS and jax.device_count() == 1
 
 
 def _row_tile(rows: int, c: int) -> int:

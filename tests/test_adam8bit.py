@@ -236,6 +236,10 @@ def test_fused_kernel_dispatch_gate(monkeypatch):
     # auto: small leaves and 1-D leaves stay on XLA
     assert not kern.use_pallas_for((128,), 128)
     assert not kern.use_pallas_for((16, 16), 256)
+    # the test mesh has 8 virtual CPU devices, so auto refuses (pallas
+    # custom calls cannot be SPMD-auto-partitioned over sharded moments)
+    assert not kern.use_pallas_for((512, 512), 512 * 512)
+    monkeypatch.setattr(kern.jax, "device_count", lambda: 1)
     assert kern.use_pallas_for((512, 512), 512 * 512)
     monkeypatch.setenv("SD_ADAM8BIT_KERNEL", "xla")
     assert not kern.use_pallas_for((512, 512), 512 * 512)
