@@ -387,9 +387,17 @@ def load_config(
             path = candidate if os.path.exists(candidate) else path
         with open(path) as f:
             preset = json.load(f)
-        parser.set_defaults(
-            **{k: v for k, v in preset.items() if not k.startswith("_")}
-        )
+        values = {k: v for k, v in preset.items() if not k.startswith("_")}
+        # argparse.set_defaults silently accepts unknown keys — a typo'd
+        # preset field would be dropped without a word; fail loudly instead
+        known = {a.dest for a in parser._actions}
+        unknown = sorted(set(values) - known)
+        if unknown:
+            parser.error(
+                f"unknown preset field(s) {unknown} in {path}; "
+                "fields must match flag dests (e.g. steps_per_dispatch)"
+            )
+        parser.set_defaults(**values)
 
     args = parser.parse_args(argv)
 

@@ -155,3 +155,47 @@ def test_convert_dataclass_to_argparse_deprecated_alias():
     assert any(issubclass(w.category, DeprecationWarning) for w in caught)
     args = parser.parse_args(["--learning-rate", "3e-4"])
     assert args.learning_rate == 3e-4
+
+
+def test_config_file_presets_all_load_and_apply():
+    """Every shipped preset resolves by bare filename and installs its
+    fields as parser defaults (CLI flags still win); the accelerate-config
+    analog (SURVEY.md component 20)."""
+    import glob
+    import os
+
+    from stable_diffusion_pytorch_tpu import config as config_mod
+    from stable_diffusion_pytorch_tpu.config import load_config
+
+    preset_dir = os.path.join(
+        os.path.dirname(config_mod.__file__), "config_presets"
+    )
+    names = sorted(os.path.basename(p) for p in glob.glob(
+        os.path.join(preset_dir, "*.json")))
+    assert {"base.json", "zero2.json", "fsdp.json", "perf.json"} <= set(names)
+    for name in names:
+        args, _ = load_config(["--config-file", name])
+        assert args is not None
+
+    # perf preset: measured max-throughput knobs land as defaults...
+    args, cfg = load_config(["--config-file", "perf.json"])
+    assert args.steps_per_dispatch == 8
+    assert args.adam_mu_dtype == "bf16" and args.adam_nu_dtype == "bf16"
+    # ...but an explicit CLI flag still overrides the preset
+    args, _ = load_config(
+        ["--config-file", "perf.json", "--steps-per-dispatch", "1"]
+    )
+    assert args.steps_per_dispatch == 1
+
+
+def test_config_file_unknown_key_fails_loudly(tmp_path):
+    import json
+
+    import pytest
+
+    from stable_diffusion_pytorch_tpu.config import load_config
+
+    bad = tmp_path / "typo.json"
+    bad.write_text(json.dumps({"steps_per_dispatchh": 8}))
+    with pytest.raises(SystemExit):
+        load_config(["--config-file", str(bad)])
