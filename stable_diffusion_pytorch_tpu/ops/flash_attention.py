@@ -7,7 +7,10 @@ tile in VMEM only — scores never touch HBM. For SD shapes (q up to 64x64=4096
 tokens, kv either q itself or 77 text tokens) the whole K/V block for one
 batch-head fits VMEM, so each tile does a single-pass exact softmax (numerically
 identical to XLA, f32 accumulation) instead of an online-softmax loop — fewer
-passes, same memory guarantee.
+passes, same memory guarantee. Beyond _KV_RESIDENT_MAX kv tokens (1024px
+latents: 16384 — K/V no longer fit VMEM at any q-block, measured) the
+kv-blocked streaming kernel takes over with the classic online-softmax
+recurrence over kv chunks.
 
 Layout contract (matches ops.attention): q [B, N, H, D], k/v [B, M, H, D]
 -> out [B, N, H, D]. D is zero-padded to a lane multiple (128); kv rows beyond
@@ -72,7 +75,11 @@ DEFAULT_BLOCK_N = 512
 # end-to-end bench.py sweep; HW_SESSION_r04.jsonl autotune_* phases).
 # Keys are the LARGEST self-attention q length in the swept program
 # ((res/8)^2 latent tokens); empty until a hardware sweep is baked.
-_TUNED_BLOCK_N: dict = {}
+_TUNED_BLOCK_N: dict = {
+    1024: 1024,  # 256px bench: 5.1691 img/s
+    4096: 512,  # 512px bench: 1.1365 img/s
+    9216: 384,  # 768px bench: 0.3572 img/s
+}
 # --- END AUTOTUNE TABLE ---
 
 
@@ -92,6 +99,66 @@ def _tuned_block_n(n: int) -> Optional[int]:
 # resident K+V + one f32 score tile (p reuses s's buffer) + q/out double
 # buffers. 12MB leaves headroom under the 16MB scoped limit.
 _VMEM_TILE_BUDGET = 12 * 1024 * 1024
+
+# Largest kv length the resident-KV single-pass kernel handles on hardware:
+# 9216 tokens (768px latents) compiles and runs; 16384 (1024px) overflows the
+# 16MB scope at ANY q-block (measured, HW_SESSION_r04 autotune_1024 — K+V
+# plus the s/p f32 tiles cannot coexist). Beyond this the kv-blocked
+# streaming-softmax kernel below takes over.
+_KV_RESIDENT_MAX = 9216
+_DEFAULT_BLOCK_M = 1024
+
+
+def _fa_kernel_stream(
+    q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
+    *, kv_len: int, use_exp2: bool, block_m: int, m_blocks: int,
+):
+    """Online-softmax flash attention: grid (B*H, N/bn, M/bm), kv innermost.
+
+    The classic two-pass-free flash recurrence (running max m, normalizer l,
+    unnormalized accumulator acc in VMEM scratch, which persists across the
+    sequential innermost grid dimension — same pattern as the dkv backward
+    kernel). Used when K/V for one batch-head no longer fit VMEM
+    (kv > _KV_RESIDENT_MAX tokens, e.g. 1024x1024 sampling's 16384-token
+    self-attention); the resident kernel stays the fast path below that.
+    """
+    j = pl.program_id(2)
+    q = q_ref[0]  # [BN, Dp] (scale — and log2e — pre-folded)
+    k = k_ref[0]  # [BM, Dp]
+    v = v_ref[0]
+
+    @pl.when(j == 0)
+    def _init():
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        acc_scr[...] = jnp.zeros_like(acc_scr)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BN, BM]
+    if kv_len < block_m * m_blocks:  # mask zero-padded kv rows
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_m
+        s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
+
+    m_prev = m_scr[...][:, 0:1]
+    l_prev = l_scr[...][:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    if use_exp2:
+        alpha = jnp.exp2(m_prev - m_new)
+        p = jnp.exp2(s - m_new)
+    else:
+        alpha = jnp.exp(m_prev - m_new)
+        p = jnp.exp(s - m_new)
+    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+    acc_scr[...] = alpha * acc_scr[...] + jnp.dot(
+        p.astype(v.dtype), v, preferred_element_type=jnp.float32
+    )
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+
+    @pl.when(j == m_blocks - 1)
+    def _emit():
+        o_ref[0] = (acc_scr[...] / l_scr[...][:, 0:1]).astype(o_ref.dtype)
 
 
 def _fit_block_n(block_n: int, m_pad: int, d_pad: int, itemsize: int) -> int:
@@ -127,10 +194,22 @@ def _flash_fwd_impl(
     m = k.shape[1]
     dtype = q.dtype
 
+    import os
+
     d_pad = _round_up(d, LANE)
     m_pad = _round_up(m, LANE)
-    block_n = min(block_n, _round_up(n, 16))
-    block_n = _fit_block_n(block_n, m_pad, d_pad, jnp.dtype(dtype).itemsize)
+    streaming = m_pad > int(
+        os.environ.get("SD_FLASH_KV_RESIDENT_MAX", _KV_RESIDENT_MAX)
+    )
+    if streaming:
+        block_m = min(
+            int(os.environ.get("SD_FLASH_BLOCK_M", _DEFAULT_BLOCK_M)), m_pad
+        )
+        m_pad = _round_up(m, block_m)
+        block_n = min(block_n, 512, _round_up(n, 16))
+    else:
+        block_n = min(block_n, _round_up(n, 16))
+        block_n = _fit_block_n(block_n, m_pad, d_pad, jnp.dtype(dtype).itemsize)
     n_pad = _round_up(n, block_n)
 
     # [B,N,H,D] -> [B*H, N, D] with zero padding
@@ -140,13 +219,38 @@ def _flash_fwd_impl(
             x, ((0, 0), (0, length_pad - length), (0, d_pad - d))
         )
 
-    import os
-
     use_exp2 = os.environ.get("SD_FLASH_EXP2", "1") == "1"
     q_scale = scale * _LOG2E if use_exp2 else scale
     qb = to_bhnd(q, n, n_pad) * jnp.asarray(q_scale, dtype)
     kb = to_bhnd(k, m, m_pad)
     vb = to_bhnd(v, m, m_pad)
+
+    if streaming:
+        m_blocks = m_pad // block_m
+        out = pl.pallas_call(
+            functools.partial(
+                _fa_kernel_stream, kv_len=m, use_exp2=use_exp2,
+                block_m=block_m, m_blocks=m_blocks,
+            ),
+            grid=(b * h, n_pad // block_n, m_blocks),
+            in_specs=[
+                pl.BlockSpec((1, block_n, d_pad), lambda bh, i, j: (bh, i, 0)),
+                pl.BlockSpec((1, block_m, d_pad), lambda bh, i, j: (bh, j, 0)),
+                pl.BlockSpec((1, block_m, d_pad), lambda bh, i, j: (bh, j, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, block_n, d_pad), lambda bh, i, j: (bh, i, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), dtype),
+            scratch_shapes=[
+                pltpu.VMEM((block_n, LANE), jnp.float32),
+                pltpu.VMEM((block_n, LANE), jnp.float32),
+                pltpu.VMEM((block_n, d_pad), jnp.float32),
+            ],
+            interpret=interpret,
+        )(qb, kb, vb)
+        out = out[:, :n, :d].reshape(b, h, n, d)
+        return jnp.transpose(out, (0, 2, 1, 3))
 
     grid = (b * h, n_pad // block_n)
     out = pl.pallas_call(
@@ -194,6 +298,19 @@ def _flash_bwd(scale, interpret, res, do):
     q, k, v = res
     import os
 
+    if _round_up(k.shape[1], LANE) > int(
+        os.environ.get("SD_FLASH_KV_RESIDENT_MAX", _KV_RESIDENT_MAX)
+    ):
+        # all three backward kernels hold resident K/V; at streaming-forward
+        # sizes (1024px latents: 16384 kv tokens) they would fail the VMEM
+        # scope with an opaque Mosaic error — name the limit instead. (A
+        # kv-blocked backward is the extension point; no training config
+        # targets >768px latents today.)
+        raise NotImplementedError(
+            f"flash attention backward needs resident K/V (kv <= "
+            f"{_KV_RESIDENT_MAX} padded tokens, got {k.shape[1]}): training "
+            "beyond 768px latents requires a kv-blocked backward kernel"
+        )
     impl = os.environ.get("SD_FLASH_BWD", "fused")
     if impl == "xla":
         return xla_attention_bwd(q, k, v, do, scale)

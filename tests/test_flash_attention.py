@@ -201,3 +201,45 @@ def test_bake_autotune_roundtrip(tmp_path, monkeypatch):
     src = target.read_text()
     assert "1024: 256," in src and "4096: 512," in src
     compile(src, str(target), "exec")  # rewritten module still valid python
+
+
+@pytest.mark.parametrize(
+    "n,m,h,d",
+    [
+        (384, 384, 2, 40),   # multi kv-block self-attn (3 chunks of 128)
+        (256, 300, 1, 64),   # kv padding mask inside the last chunk
+        (100, 77, 2, 64),    # cross-attn: single partial kv chunk
+    ],
+)
+def test_streaming_kv_blocked_matches_xla(n, m, h, d, monkeypatch):
+    """The online-softmax kv-blocked kernel (1024px path: kv too large for
+    resident K/V) must match XLA attention like the resident kernel does."""
+    monkeypatch.setenv("SD_FLASH_KV_RESIDENT_MAX", "64")  # force streaming
+    monkeypatch.setenv("SD_FLASH_BLOCK_M", "128")
+    ks = jax.random.split(KEY, 3)
+    q = rand((2, n, h, d), ks[0])
+    k = rand((2, m, h, d), ks[1])
+    v = rand((2, m, h, d), ks[2])
+    scale = 1.0 / np.sqrt(d)
+    ours = flash_attention(q, k, v, scale, interpret=True)
+    ref = xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )
+
+
+def test_streaming_matches_resident_bf16(monkeypatch):
+    """Streaming and resident kernels agree on bf16 inputs (the hardware
+    dtype) within bf16 tolerance."""
+    ks = jax.random.split(KEY, 3)
+    q = rand((1, 256, 2, 40), ks[0], jnp.bfloat16)
+    k = rand((1, 256, 2, 40), ks[1], jnp.bfloat16)
+    v = rand((1, 256, 2, 40), ks[2], jnp.bfloat16)
+    resident = flash_attention(q, k, v, 0.125, interpret=True)
+    monkeypatch.setenv("SD_FLASH_KV_RESIDENT_MAX", "64")
+    monkeypatch.setenv("SD_FLASH_BLOCK_M", "128")
+    streaming = flash_attention(q, k, v, 0.125, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(streaming, np.float32), np.asarray(resident, np.float32),
+        rtol=2e-2, atol=2e-2,
+    )

@@ -91,8 +91,11 @@ PHASES = [
      {"BENCH_RES": "256", "AT_POINTS": "256,512,1024"}, 9000, "json"),
     ("autotune_768", ["tools/autotune.py"],
      {"BENCH_RES": "768", "AT_POINTS": "256,384,512"}, 9000, "json"),
+    # 1024px runs the kv-blocked STREAMING kernel (16384 kv tokens overflow
+    # the resident-KV design at any q-block — first sweep attempt measured
+    # exactly that); points are streaming q-blocks
     ("autotune_1024", ["tools/autotune.py"],
-     {"BENCH_RES": "1024", "AT_POINTS": "192,256,384", "BENCH_BATCH": "2"},
+     {"BENCH_RES": "1024", "AT_POINTS": "256,384,512", "BENCH_BATCH": "2"},
      9000, "json"),
 ]
 
