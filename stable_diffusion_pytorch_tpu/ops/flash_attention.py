@@ -79,6 +79,7 @@ _TUNED_BLOCK_N: dict = {
     1024: 1024,  # 256px bench: 5.1691 img/s
     4096: 512,  # 512px bench: 1.1365 img/s
     9216: 384,  # 768px bench: 0.3572 img/s
+    16384: 512,  # 1024px bench: 0.1153 img/s
 }
 # --- END AUTOTUNE TABLE ---
 
