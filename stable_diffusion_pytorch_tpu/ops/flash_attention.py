@@ -302,15 +302,17 @@ def _flash_bwd(scale, interpret, res, do):
     if _round_up(k.shape[1], LANE) > int(
         os.environ.get("SD_FLASH_KV_RESIDENT_MAX", _KV_RESIDENT_MAX)
     ):
-        # all three backward kernels hold resident K/V; at streaming-forward
-        # sizes (1024px latents: 16384 kv tokens) they would fail the VMEM
-        # scope with an opaque Mosaic error — name the limit instead. (A
-        # kv-blocked backward is the extension point; no training config
-        # targets >768px latents today.)
-        raise NotImplementedError(
-            f"flash attention backward needs resident K/V (kv <= "
-            f"{_KV_RESIDENT_MAX} padded tokens, got {k.shape[1]}): training "
-            "beyond 768px latents requires a kv-blocked backward kernel"
+        # the resident-KV backward kernels cannot reach these sizes (1024px
+        # latents: 16384 kv tokens overflow the VMEM scope); use the
+        # kv-blocked streaming backward (stats + dq + dkv, flash-2 style)
+        from stable_diffusion_pytorch_tpu.ops.flash_attention_bwd import (
+            flash_attention_bwd_streaming,
+        )
+
+        return flash_attention_bwd_streaming(
+            q, k, v, do, scale, interpret,
+            block_n=int(os.environ.get("SD_FLASH_SBWD_BLOCK_N", "256")),
+            block_m=int(os.environ.get("SD_FLASH_SBWD_BLOCK_M", "1024")),
         )
     impl = os.environ.get("SD_FLASH_BWD", "fused")
     if impl == "xla":

@@ -317,3 +317,253 @@ def flash_attention_bwd(
         return jnp.transpose(x, (0, 2, 1, 3))
 
     return from_bhnd(dq, n), from_bhnd(dk, m), from_bhnd(dv, m)
+
+
+# ---------------------------------------------------------------------------
+# Streaming (kv-blocked) backward: for kv lengths beyond the resident-KV
+# kernels' VMEM reach (>_KV_RESIDENT_MAX padded tokens, e.g. 1024px latents'
+# 16384-token self-attention — the forward already streams there). Three
+# kernels, none of which ever holds full K/V:
+#
+#   stats: per q-tile, ONE streaming pass over kv chunks computes the row
+#          log-sum-exp (lse) and delta = rowsum(p * dp) via the same online
+#          rescaling recurrence as the forward (running max m, normalizer l,
+#          rescaled dot-sum).
+#   dq:    per q-tile, kv chunks innermost; p = exp2(s - lse) is already
+#          normalized, dq accumulates in VMEM scratch.
+#   dkv:   per kv-chunk, q-tiles innermost; dk/dv accumulate in scratch
+#          (the _dkv_kernel pattern, one extra grid dim).
+#
+# Padded q rows need no masking: their do rows are zero-padded, so dp, delta
+# and every accumulated contribution vanish; p stays bounded (<= 1) because
+# lse is recomputed from the identical s values. Padded kv columns are
+# -inf-masked exactly as in the forward.
+# ---------------------------------------------------------------------------
+
+
+def _sbwd_stats_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, m_scr, l_scr, d_scr,
+    *, kv_len, block_m, m_blocks, use_exp2,
+):
+    j = pl.program_id(2)
+    q = q_ref[0]  # [BN, Dp], pre-scaled (incl. log2e when use_exp2)
+    k = k_ref[0]  # [BM, Dp]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        m_scr[...] = jnp.full_like(m_scr, -1e30)
+        l_scr[...] = jnp.zeros_like(l_scr)
+        d_scr[...] = jnp.zeros_like(d_scr)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if kv_len < block_m * m_blocks:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_m
+        s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
+
+    m_prev = m_scr[...][:, 0:1]
+    l_prev = l_scr[...][:, 0:1]
+    d_prev = d_scr[...][:, 0:1]
+    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
+    if use_exp2:
+        alpha = jnp.exp2(m_prev - m_new)
+        e = jnp.exp2(s - m_new)
+    else:
+        alpha = jnp.exp(m_prev - m_new)
+        e = jnp.exp(s - m_new)
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
+    d_new = alpha * d_prev + jnp.sum(e * dp, axis=-1, keepdims=True)
+    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+    d_scr[...] = jnp.broadcast_to(d_new, d_scr.shape)
+
+    @pl.when(j == m_blocks - 1)
+    def _():
+        log = jnp.log2 if use_exp2 else jnp.log
+        lse_ref[0] = m_scr[...] + log(l_scr[...])
+        delta_ref[0] = d_scr[...] / l_scr[...]
+
+
+def _sbwd_dq_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dq_ref, dq_scr,
+    *, kv_len, block_m, m_blocks, use_exp2, scale,
+):
+    j = pl.program_id(2)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    @pl.when(j == 0)
+    def _():
+        dq_scr[...] = jnp.zeros_like(dq_scr)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if kv_len < block_m * m_blocks:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_m
+        s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
+    lse = lse_ref[0][:, 0:1]
+    p = jnp.exp2(s - lse) if use_exp2 else jnp.exp(s - lse)  # normalized
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    t = p * (dp - delta_ref[0][:, 0:1])
+    dq_scr[...] += jax.lax.dot_general(
+        t.astype(k.dtype), k, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(j == m_blocks - 1)
+    def _():
+        dq_ref[0] = (dq_scr[...] * scale).astype(dq_ref.dtype)
+
+
+def _sbwd_dkv_kernel(
+    q_ref, k_ref, v_ref, do_ref, lse_ref, delta_ref, dk_ref, dv_ref,
+    dk_scr, dv_scr, *, kv_len, block_m, m_blocks, use_exp2, scale,
+):
+    jq = pl.program_id(2)
+    n_tiles = pl.num_programs(2)
+    jm = pl.program_id(1)
+    q = q_ref[0]
+    k = k_ref[0]
+    v = v_ref[0]
+    do = do_ref[0]
+
+    @pl.when(jq == 0)
+    def _():
+        dk_scr[...] = jnp.zeros_like(dk_scr)
+        dv_scr[...] = jnp.zeros_like(dv_scr)
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [BN, BM]
+    if kv_len < block_m * m_blocks:
+        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jm * block_m
+        s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
+    lse = lse_ref[0][:, 0:1]
+    p = jnp.exp2(s - lse) if use_exp2 else jnp.exp(s - lse)
+    dv_scr[...] += jax.lax.dot_general(
+        p.astype(v.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    t = p * (dp - delta_ref[0][:, 0:1])
+    dk_scr[...] += jax.lax.dot_general(
+        t.astype(q.dtype), q, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(jq == n_tiles - 1)
+    def _():
+        # q arrives pre-scaled; ds^T q_raw = t^T q_scaled / (scale * log2e),
+        # then dk = scale * (ds^T q_raw) — the scales cancel to 1/log2e
+        inv = (1.0 / _LOG2E) if use_exp2 else 1.0
+        dk_ref[0] = (dk_scr[...] * inv).astype(dk_ref.dtype)
+        dv_ref[0] = dv_scr[...].astype(dv_ref.dtype)
+
+
+def flash_attention_bwd_streaming(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    do: jnp.ndarray,
+    scale: float,
+    interpret: bool,
+    block_n: int = 256,
+    block_m: int = 1024,
+):
+    """kv-blocked streaming backward: (dq, dk, dv), [B, L, H, D] layout."""
+    import os
+
+    b, n, h, d = q.shape
+    m = k.shape[1]
+    dtype = q.dtype
+    use_exp2 = os.environ.get("SD_FLASH_EXP2", "1") == "1"
+
+    d_pad = _round_up(d, LANE)
+    block_m = min(block_m, _round_up(m, LANE))
+    m_pad = _round_up(m, block_m)
+    block_n = min(block_n, _round_up(n, 16))
+    n_pad = _round_up(n, block_n)
+    m_blocks = m_pad // block_m
+
+    def to_bhnd(x, length, length_pad):
+        x = jnp.transpose(x, (0, 2, 1, 3)).reshape(b * h, length, d)
+        return jnp.pad(x, ((0, 0), (0, length_pad - length), (0, d_pad - d)))
+
+    q_scale = scale * _LOG2E if use_exp2 else scale
+    qb = to_bhnd(q, n, n_pad) * jnp.asarray(q_scale, dtype)
+    kb = to_bhnd(k, m, m_pad)
+    vb = to_bhnd(v, m, m_pad)
+    dob = to_bhnd(do, n, n_pad)
+
+    q_spec = pl.BlockSpec((1, block_n, d_pad), lambda bh, i, j: (bh, i, 0))
+    kv_spec = pl.BlockSpec((1, block_m, d_pad), lambda bh, i, j: (bh, j, 0))
+    row_spec = pl.BlockSpec((1, block_n, LANE), lambda bh, i, j: (bh, i, 0))
+    common = dict(kv_len=m, block_m=block_m, m_blocks=m_blocks,
+                  use_exp2=use_exp2)
+
+    lse, delta = pl.pallas_call(
+        functools.partial(_sbwd_stats_kernel, **common),
+        grid=(b * h, n_pad // block_n, m_blocks),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec],
+        out_specs=[row_spec, row_spec],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, n_pad, LANE), jnp.float32),
+            jax.ShapeDtypeStruct((b * h, n_pad, LANE), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_n, LANE), jnp.float32),
+            pltpu.VMEM((block_n, LANE), jnp.float32),
+            pltpu.VMEM((block_n, LANE), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qb, kb, vb, dob)
+
+    dq = pl.pallas_call(
+        functools.partial(_sbwd_dq_kernel, scale=scale, **common),
+        grid=(b * h, n_pad // block_n, m_blocks),
+        in_specs=[q_spec, kv_spec, kv_spec, q_spec, row_spec, row_spec],
+        out_specs=q_spec,
+        out_shape=jax.ShapeDtypeStruct((b * h, n_pad, d_pad), dtype),
+        scratch_shapes=[pltpu.VMEM((block_n, d_pad), jnp.float32)],
+        interpret=interpret,
+    )(qb, kb, vb, dob, lse, delta)
+
+    # dkv: kv chunk outer, q tiles inner (scratch resets per kv chunk)
+    q_spec_i = pl.BlockSpec((1, block_n, d_pad), lambda bh, jm, i: (bh, i, 0))
+    kv_spec_o = pl.BlockSpec((1, block_m, d_pad), lambda bh, jm, i: (bh, jm, 0))
+    row_spec_i = pl.BlockSpec((1, block_n, LANE), lambda bh, jm, i: (bh, i, 0))
+    dk, dv = pl.pallas_call(
+        functools.partial(_sbwd_dkv_kernel, scale=scale, **common),
+        grid=(b * h, m_blocks, n_pad // block_n),
+        in_specs=[q_spec_i, kv_spec_o, kv_spec_o, q_spec_i, row_spec_i,
+                  row_spec_i],
+        out_specs=[kv_spec_o, kv_spec_o],
+        out_shape=[
+            jax.ShapeDtypeStruct((b * h, m_pad, d_pad), dtype),
+            jax.ShapeDtypeStruct((b * h, m_pad, d_pad), dtype),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((block_m, d_pad), jnp.float32),
+            pltpu.VMEM((block_m, d_pad), jnp.float32),
+        ],
+        interpret=interpret,
+    )(qb, kb, vb, dob, lse, delta)
+
+    def from_bhnd(x, length):
+        x = x[:, :length, :d].reshape(b, h, length, d)
+        return jnp.transpose(x, (0, 2, 1, 3))
+
+    return from_bhnd(dq, n), from_bhnd(dk, m), from_bhnd(dv, m)
