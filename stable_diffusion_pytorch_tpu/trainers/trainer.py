@@ -408,6 +408,16 @@ class Trainer:
                     yield {k: v[i] for k, v in host.items()}, per_wall
             else:
                 batch = buf.pop(0)
+                if want > 1 and not getattr(self, "_single_warm", False):
+                    # a chained run falling back to single-step dispatch
+                    # (trailing partial chunk / boundary break) compiles a
+                    # SECOND program mid-run; drop that sample so p50/mean
+                    # reflect steady state (the fixed warmup=2 was consumed
+                    # by the chain phase long ago)
+                    self._single_warm = True
+                    step_timer.skip_next()
+                    if phases is not None:
+                        phases.skip_next("dispatch")
                 t0 = time.perf_counter()
                 key = jax.random.fold_in(base_key, micro)
                 if phases is not None:

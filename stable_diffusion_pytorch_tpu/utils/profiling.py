@@ -33,9 +33,18 @@ class StepTimer:
     def add(self, dt: float) -> None:
         """Record an externally-measured duration (e.g. chunk wall / n_steps
         from the trainer's chained-dispatch path)."""
+        if getattr(self, "_skip", 0) > 0:
+            self._skip -= 1
+            return
         self._seen += 1
         if self._seen > self.warmup:
             self.durations.append(dt)
+
+    def skip_next(self, n: int = 1) -> None:
+        """Drop the next ``n`` samples (e.g. a mid-run XLA compile the fixed
+        ``warmup`` cannot anticipate, like the first single-step dispatch
+        after a chained run compiles a second program)."""
+        self._skip = getattr(self, "_skip", 0) + n
 
     def percentile(self, q: float) -> float:
         if not self.durations:
@@ -72,10 +81,21 @@ class PhaseTimer:
         self._seen: Dict[str, int] = {}
 
     def add(self, name: str, dt: float) -> None:
+        skip = getattr(self, "_skip", None) or {}
+        if skip.get(name, 0) > 0:
+            skip[name] -= 1
+            return
         seen = self._seen.get(name, 0) + 1
         self._seen[name] = seen
         if seen > self.warmup:
             self.samples.setdefault(name, []).append(dt)
+
+    def skip_next(self, name: str, n: int = 1) -> None:
+        """Drop the next ``n`` samples of ``name`` (mid-run compiles the
+        fixed warmup cannot anticipate)."""
+        if not hasattr(self, "_skip") or self._skip is None:
+            self._skip = {}
+        self._skip[name] = self._skip.get(name, 0) + n
 
     @contextlib.contextmanager
     def phase(self, name: str):

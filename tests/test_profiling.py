@@ -47,3 +47,27 @@ def test_phase_timer_timed_iter():
     # empty iterable: no yield, no crash
     assert list(p.timed_iter([], "fetch2")) == []
     assert "fetch2" not in p.samples
+
+
+def test_step_timer_skip_next():
+    from stable_diffusion_pytorch_tpu.utils.profiling import StepTimer
+
+    t = StepTimer(warmup=0)
+    t.add(1.0)
+    t.skip_next()
+    t.add(99.0)  # dropped (mid-run compile)
+    t.add(2.0)
+    assert t.durations == [1.0, 2.0]
+
+
+def test_phase_timer_skip_next_is_per_phase():
+    from stable_diffusion_pytorch_tpu.utils.profiling import PhaseTimer
+
+    p = PhaseTimer(warmup=0)
+    p.add("dispatch", 1.0)
+    p.skip_next("dispatch")
+    p.add("dispatch", 99.0)  # dropped
+    p.add("place", 5.0)      # other phases unaffected
+    p.add("dispatch", 2.0)
+    assert p.samples["dispatch"] == [1.0, 2.0]
+    assert p.samples["place"] == [5.0]

@@ -39,6 +39,21 @@ TINY = [
     "--noise-steps", "20",
 ]
 
+# LT_PRESET=sd15 serves the full SD-1.5-scale stack (models/presets.py) —
+# pair with LT_PLATFORM=axon LT_STEPS=50 LT_SIZE=512 for real-chip serving
+# latency (the TPU is single-tenant: nothing else may hold the chip)
+SD15 = [
+    "--channels-list", "320,640,1280,1280", "--n-heads", "8",
+    "--time-emb-dim", "1280", "--n-layers", "1",
+    "--attention-resolutions", "1,2,4", "--context-dim", "768",
+    "--autoencoder-channels-list", "128,256,512,512", "--groups", "32",
+    "--noise-steps", "1000",
+]
+
+
+def _model_args():
+    return SD15 if os.environ.get("LT_PRESET") == "sd15" else TINY
+
 
 def _post(url: str, payload: dict, timeout: float = 600.0):
     req = urllib.request.Request(
@@ -61,7 +76,7 @@ class _Server:
         import serve as serve_mod
 
         self.serve_mod = serve_mod
-        argv = TINY + [
+        argv = _model_args() + [
             "--default-image-size", str(size), "--default-steps", str(steps),
             "--max-batch", str(max_batch), "--batch-window-ms", "30",
         ]
@@ -237,8 +252,14 @@ def main() -> dict:
                 warm_requests=max(clients, 8))
     off = _phase(1, steps, size, n_requests, clients,
                  warm_requests=max(clients, 8))
-    with tempfile.TemporaryDirectory() as td:
-        swap = _hot_swap_under_load(steps, size, clients, td)
+    if os.environ.get("LT_SKIP_SWAP") == "1":
+        swap = "skipped (LT_SKIP_SWAP=1)"
+    else:
+        try:
+            with tempfile.TemporaryDirectory() as td:
+                swap = _hot_swap_under_load(steps, size, clients, td)
+        except Exception as e:  # noqa: BLE001 — keep the latency phases
+            swap = f"FAILED: {type(e).__name__}: {e}"
 
     result = {
         "metric": "serve_loadtest",
