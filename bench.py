@@ -12,9 +12,10 @@ target.
 Prints exactly ONE JSON line on stdout; progress goes to stderr.
 
 Env knobs: BENCH_BATCH (4), BENCH_STEPS (50), BENCH_RES (512), BENCH_REPEATS (3),
-BENCH_PRESET (sd15|reference), BENCH_SKIP_DECODE (0), BENCH_DEEP_CACHE (0; N>1
-enables DeepCache trunk reuse every N steps — opt-in approximate mode, NOT the
-headline configuration).
+BENCH_PRESET (sd15|reference), BENCH_SKIP_DECODE (0), BENCH_SAMPLER (ddim|ddpm|
+dpmpp; ddim is the headline metric), BENCH_DEEP_CACHE (0; N>1 enables DeepCache
+trunk reuse every N steps — opt-in approximate mode, NOT the headline
+configuration).
 """
 
 import json
@@ -133,8 +134,11 @@ def main() -> None:
     deep_cache = int(os.environ.get("BENCH_DEEP_CACHE", "0"))
     if deep_cache > 1:
         log(f"DeepCache ON: trunk refresh every {deep_cache} steps (opt-in mode)")
+    # BENCH_SAMPLER: ddim (the headline metric) | ddpm | dpmpp — BASELINE
+    # config #2 names DDIM and DDPM; dpmpp backs the quality-vs-steps claim
+    sampler = os.environ.get("BENCH_SAMPLER", "ddim")
     sample_fn = make_sample_fn(
-        unet, schedule, steps, sampler="ddim", guidance_scale=7.5,
+        unet, schedule, steps, sampler=sampler, guidance_scale=7.5,
         deep_cache_interval=deep_cache,
     )
 
@@ -225,7 +229,7 @@ def main() -> None:
     p50 = times[len(times) // 2]
     images_per_sec = batch / p50
     result = {
-        "metric": f"txt2img_{res}_ddim{steps}_images_per_sec_per_chip",
+        "metric": f"txt2img_{res}_{sampler}{steps}_images_per_sec_per_chip",
         "value": round(images_per_sec, 4),
         "unit": "images/sec/chip",
         "vs_baseline": round(images_per_sec / A100_REF_IMAGES_PER_SEC, 4),

@@ -32,6 +32,7 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 from flax import struct
+from jax.ad_checkpoint import checkpoint_name
 
 from stable_diffusion_pytorch_tpu.ops.attention import multi_head_attention
 from stable_diffusion_pytorch_tpu.ops.groupnorm import group_norm, group_norm_cat
@@ -305,6 +306,10 @@ class ResBlock(nn.Module):
             x, skip_cat
         )
         h = conv3x3(out_ch, dtype=self.dtype, name="in_conv")(h)
+        # checkpoint_name: a no-op outside jax.checkpoint; under the UNet's
+        # remat="conv-save" policy the conv outputs (the FLOP-heavy ops) are
+        # SAVED while GN/SiLU/attention activations are rematerialized
+        h = checkpoint_name(h, "resblock_conv")
 
         if self.time_emb_dim is not None and time_emb is not None:
             t = jax.nn.silu(time_emb.astype(self.dtype))
@@ -316,6 +321,7 @@ class ResBlock(nn.Module):
         h = GroupNormSiLU(self.groups, dtype=self.dtype, name="out_norm")(h)
         h = nn.Dropout(self.dropout)(h, deterministic=deterministic)
         h = conv3x3(out_ch, zero_init=True, dtype=self.dtype, name="out_conv")(h)
+        h = checkpoint_name(h, "resblock_conv")
 
         if skip_cat is None:
             if in_ch != out_ch:

@@ -122,7 +122,7 @@ def build_models(
     dtype: jnp.dtype = jnp.float32,
     seed: int = 0,
     init_image_size: int = 64,
-    remat: bool = False,
+    remat=False,  # bool or a policy name ("full"/"conv-save"/"dots_saveable")
     pretrained_dir: Optional[str] = "__from_clip_cfg__",
 ) -> LatentDiffusion:
     """DDPM schedule + UNet + frozen CLIP + AutoEncoderKL -> LatentDiffusion

@@ -58,8 +58,12 @@ class ParallelConfig(BaseConfig):
     remat_policy: str = field(
         default="none",
         metadata={
-            "help": "jax.checkpoint policy for the UNet blocks.",
-            "choices": ["none", "full", "dots_saveable"],
+            "help": "jax.checkpoint policy for the UNet blocks: full = "
+            "per-block remat (recompute everything; fits batch 16), "
+            "conv-save = save only ResBlock conv outputs (recompute "
+            "GN/SiLU/attention; the selective middle ground), "
+            "dots_saveable = save dot_general outputs.",
+            "choices": ["none", "full", "conv-save", "dots_saveable"],
         },
     )
     use_pallas_attention: bool = field(

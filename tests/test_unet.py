@@ -119,3 +119,45 @@ def test_materialized_skip_concat_env_gate_is_exact(monkeypatch):
     assert jnp.array_equal(eps_default, eps_concat) or jnp.allclose(
         eps_default, eps_concat, atol=1e-6, rtol=1e-6
     )
+
+
+@pytest.mark.parametrize("policy", ["full", "conv-save", "dots_saveable"])
+def test_remat_policies_match_no_remat_gradients(policy):
+    """Every remat policy is a pure memory/FLOP trade: outputs and gradients
+    must be bitwise-equivalent (same ops, f32 on CPU) to the no-remat UNet.
+    conv-save saves only the checkpoint_name'd ResBlock conv outputs
+    (models/blocks.py) and rematerializes GN/SiLU/attention."""
+    cfg = UnetConfig(
+        channels_list=[32, 64], n_heads=4, time_emb_dim=64, n_layers=1
+    )
+    base = UNetModel.from_config(4, 8, cfg)
+    rematted = UNetModel.from_config(4, 8, cfg, remat=policy)
+
+    x = jax.random.normal(KEY, (2, 8, 8, 4))
+    t = jnp.array([3, 700], jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 77, 768))
+    params = base.init(KEY, x, t, ctx)
+    params = jax.tree_util.tree_map(
+        lambda p: p + 0.02 * jax.random.normal(KEY, p.shape, p.dtype), params
+    )
+
+    def loss(model, p):
+        return jnp.mean(model.apply(p, x, t, ctx) ** 2)
+
+    l0, g0 = jax.value_and_grad(lambda p: loss(base, p))(params)
+    l1, g1 = jax.value_and_grad(lambda p: loss(rematted, p))(params)
+    assert jnp.allclose(l0, l1, rtol=1e-6, atol=1e-7)
+    flat0 = jax.tree_util.tree_leaves(g0)
+    flat1 = jax.tree_util.tree_leaves(g1)
+    for a, b in zip(flat0, flat1):
+        assert jnp.allclose(a, b, rtol=1e-5, atol=1e-7), (a - b)
+
+
+def test_remat_unknown_policy_raises():
+    unet = UNetModel.from_config(
+        4, 8, UnetConfig(channels_list=[32, 64], n_heads=4, n_layers=1),
+        remat="bogus",
+    )
+    x = jnp.zeros((1, 8, 8, 4))
+    with pytest.raises(ValueError, match="unknown remat policy"):
+        unet.init(KEY, x, jnp.zeros((1,), jnp.int32), jnp.zeros((1, 77, 768)))

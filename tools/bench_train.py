@@ -55,7 +55,10 @@ def log(m):
 def main():
     batch = int(os.environ.get("TB_BATCH", "8"))
     repeats = int(os.environ.get("TB_REPEATS", "5"))
-    remat = os.environ.get("TB_REMAT", "0") == "1"
+    # "0"=off, "1"/"full"=per-block remat, "conv-save"/"dots_saveable"=
+    # selective policies (models/unet.py remat field)
+    remat_env = os.environ.get("TB_REMAT", "0")
+    remat = {"0": False, "1": "full"}.get(remat_env, remat_env)
     preset = os.environ.get("TB_PRESET", "sd15")
 
     dtype = jnp.bfloat16 if jax.default_backend() == "tpu" else jnp.float32

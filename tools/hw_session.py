@@ -1,12 +1,12 @@
 #!/usr/bin/env python
 """Resumable one-command TPU hardware session: every queued chip measurement.
 
-The TPU tunnel has been down for long stretches (10+ h observed); when it
-comes back the window may be short. This driver runs ALL queued round-4
-measurements as same-session A/Bs (chip speed varies ~6% day to day — only
-same-session pairs are trustworthy, docs/PERFORMANCE.md), appending each
-result to HW_SESSION_r04.jsonl as it lands. Completed phases are skipped on
-re-launch, so a flaky window can be consumed incrementally:
+The TPU tunnel can be down for long stretches (10+ h observed); when it comes
+back the window may be short. This driver runs ALL queued measurements as
+same-session A/Bs (chip speed varies ~6% day to day — only same-session pairs
+are trustworthy, docs/PERFORMANCE.md), appending each result to the round's
+JSONL as it lands. Completed phases are skipped on re-launch, so a flaky
+window can be consumed incrementally:
 
     timeout 36000 python tools/hw_session.py        # re-run until "ALL DONE"
 
@@ -16,24 +16,28 @@ process per phase also keeps env-knob A/Bs honest (JAX reads most knobs at
 import). Phase 1 doubles as the tunnel probe: bench.py's attach watchdog
 (exit 3) aborts the whole session early when the tunnel is still down.
 
-Phases (see CLAUDE.md "Queued hardware measurements"):
-  headline                 bench.py sampling headline (concat-free path is
-                           the default — this IS the round-4 number)
-  headline_concat_mat      + SD_MATERIALIZE_SKIP_CONCAT=1 (round-3 path)
-  deepcache3               + BENCH_DEEP_CACHE=3 (approximate gear re-check)
-  train_base               tools/bench_train.py SD-1.5-scale defaults
-  train_concat_mat         + SD_MATERIALIZE_SKIP_CONCAT=1
-  train_chain8             + TB_CHAIN=8 (steps-per-dispatch analog)
-  train_nu_bf16            + TB_NU_DTYPE=bf16
-  train_mu_nu_bf16         + TB_MU_DTYPE=bf16 TB_NU_DTYPE=bf16
-  train_8bit               + TB_OPT=8bit (layout-preserving int8 Adam —
-                           round 3's flat blocking measured 364 vs 312 ms)
-  refscale_spd1 / _spd8    train_unet.py reference-scale (64px, latent
-                           cache) SD_TRAIN_PROFILE=1 chained-dispatch A/B
-  autotune_sample          flash fwd block sweep at 512 (AT defaults)
+Round-5 queue (VERDICT r4 "next round" items; r04 record: HW_SESSION_r04.jsonl):
+  headline                  re-verify 1.137 img/s after the round-5 kernel edits
+  train_base / train_chain8 same-session anchors for the composition A/Bs
+  train_perf_preset         the SHIPPED config_presets/perf.json combination
+                            (chain8 + bf16 mu/nu) — never measured composed
+  train_perf_8bit           int8 Adam (Pallas kernel) + chain8 composition
+  stream_fwd_sweep          streaming flash fwd block space at 16384 tokens
+  stream_bwd_sweep          streaming backward SBWD blocks at 16384 tokens
+  stream_x768               resident-vs-streaming crossover at 9216 tokens
+  hires1024_bench           end-to-end 1024px bench at the sweep's best blocks
+                            (@best references resolve from earlier phases)
+  train_b16_full            batch-16 per-block full remat anchor (~894 ms r3)
+  train_b16_convsave        batch-16 selective remat (save ResBlock convs,
+                            recompute GN/SiLU/attention)
+  headline_ddpm/_dpmpp      BASELINE config #2 samplers hardware-benched once
+  headline_dpmpp25          the "dpmpp at 20-25 steps" speed point
+  serve_sd15                TPU serving loadtest (batching ratio, p50/p95,
+                            hot-swap latency with a warm jit cache)
 
-A final "summary" record derives the A/B ratios. BENCH/TB/AT env knobs pass
-through, so a custom sweep can be layered on top.
+Env values of the form "@best:<phase>:<key>" resolve at launch time from the
+named completed phase's result.best record — sweep phases feed confirm phases
+without manual re-editing. A final "summary" record derives the A/B ratios.
 """
 
 import json
@@ -44,59 +48,56 @@ import sys
 import time
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-OUT = os.path.join(REPO, os.environ.get("HW_OUT", "HW_SESSION_r04.jsonl"))
+OUT = os.path.join(REPO, os.environ.get("HW_OUT", "HW_SESSION_r05.jsonl"))
 PY = sys.executable
-
-REFSCALE_ARGS = [
-    "train_unet.py", "--dataset", "synthetic", "--resolution", "64",
-    "--max-train-samples", "512", "--train-batch-size", "8",
-    "--gradient-accumulation-steps", "1", "--max-train-steps", "100",
-    "--log-interval", "0", "--checkpointing-steps", "100000",
-    "--ckpt-dir", "/tmp/hw_session_ckpt",
-    "--latent-cache", "/tmp/hw_session_lat64.npz",
-]
 
 PHASES = [
     # (name, argv, env updates, timeout_s, parser)
     # attach can take 70-95s through a slow-but-alive tunnel (measured
     # 2026-08-18); 300s still fails fast when the tunnel is truly down
     ("headline", ["bench.py"], {"BENCH_ATTACH_TIMEOUT_S": "300"}, 2700, "json"),
-    ("headline_concat_mat", ["bench.py"],
-     {"SD_MATERIALIZE_SKIP_CONCAT": "1"}, 2700, "json"),
-    ("deepcache3", ["bench.py"], {"BENCH_DEEP_CACHE": "3"}, 2700, "json"),
     ("train_base", ["tools/bench_train.py"], {}, 2700, "json"),
-    ("train_concat_mat", ["tools/bench_train.py"],
-     {"SD_MATERIALIZE_SKIP_CONCAT": "1"}, 2700, "json"),
     ("train_chain8", ["tools/bench_train.py"], {"TB_CHAIN": "8"}, 2700, "json"),
-    ("train_nu_bf16", ["tools/bench_train.py"], {"TB_NU_DTYPE": "bf16"}, 2700, "json"),
-    ("train_mu_nu_bf16", ["tools/bench_train.py"],
-     {"TB_MU_DTYPE": "bf16", "TB_NU_DTYPE": "bf16"}, 2700, "json"),
-    ("train_8bit", ["tools/bench_train.py"], {"TB_OPT": "8bit"}, 2700, "json"),
-    # fused Pallas int8 update (ops/adam8bit_update.py) vs the XLA lowering:
-    # train_8bit above predates the kernel (= the xla path); the explicit
-    # SD_ADAM8BIT_KERNEL pin keeps the pair honest if phases are re-run
-    ("train_8bit_kernel", ["tools/bench_train.py"],
-     {"TB_OPT": "8bit", "SD_ADAM8BIT_KERNEL": "auto"}, 2700, "json"),
-    ("train_8bit_xla", ["tools/bench_train.py"],
-     {"TB_OPT": "8bit", "SD_ADAM8BIT_KERNEL": "xla"}, 2700, "json"),
-    ("refscale_spd1", REFSCALE_ARGS + ["--steps-per-dispatch", "1"],
-     {"SD_TRAIN_PROFILE": "1"}, 3600, "profile"),
-    ("refscale_spd8", REFSCALE_ARGS + ["--steps-per-dispatch", "8"],
-     {"SD_TRAIN_PROFILE": "1"}, 3600, "profile"),
-    ("autotune_sample", ["tools/autotune.py"], {}, 9000, "json"),
-    # flash-block ladder across the resolution range (hires-fix path included);
-    # each point is a fresh remote compile, so points are coarse and phases
-    # separate (resumable). 256px has only 1024 kv tokens — small blocks only.
-    ("autotune_256", ["tools/autotune.py"],
-     {"BENCH_RES": "256", "AT_POINTS": "256,512,1024"}, 9000, "json"),
-    ("autotune_768", ["tools/autotune.py"],
-     {"BENCH_RES": "768", "AT_POINTS": "256,384,512"}, 9000, "json"),
-    # 1024px runs the kv-blocked STREAMING kernel (16384 kv tokens overflow
-    # the resident-KV design at any q-block — first sweep attempt measured
-    # exactly that); points are streaming q-blocks
-    ("autotune_1024", ["tools/autotune.py"],
-     {"BENCH_RES": "1024", "AT_POINTS": "256,384,512", "BENCH_BATCH": "2"},
-     9000, "json"),
+    # the shipped perf.json composition (VERDICT r4 missing #2): chain8 +
+    # bf16 mu AND nu moments, measured AS a combination for the first time
+    ("train_perf_preset", ["tools/bench_train.py"],
+     {"TB_CHAIN": "8", "TB_MU_DTYPE": "bf16", "TB_NU_DTYPE": "bf16"},
+     2700, "json"),
+    # int8 Adam (fused Pallas update kernel) composed with chained dispatch
+    ("train_perf_8bit", ["tools/bench_train.py"],
+     {"TB_OPT": "8bit", "TB_CHAIN": "8", "SD_ADAM8BIT_KERNEL": "auto"},
+     2700, "json"),
+    # --- hires MFU cliff (VERDICT r4 weak #1): streaming-kernel block space.
+    # Kernel-standalone sweeps (chained calls, dispatch amortized), then an
+    # end-to-end 1024px bench at the winning blocks.
+    ("stream_fwd_sweep", ["tools/stream_attn_sweep.py"],
+     {"SAS_MODE": "fwd"}, 9000, "json"),
+    ("stream_bwd_sweep", ["tools/stream_attn_sweep.py"],
+     {"SAS_MODE": "bwd"}, 9000, "json"),
+    ("stream_x768", ["tools/stream_attn_sweep.py"],
+     {"SAS_MODE": "x768"}, 9000, "json"),
+    ("hires1024_bench", ["bench.py"],
+     {"BENCH_RES": "1024", "BENCH_BATCH": "2",
+      "SD_FLASH_BLOCK_N": "@best:stream_fwd_sweep:block_n",
+      "SD_FLASH_BLOCK_M": "@best:stream_fwd_sweep:block_m"}, 2700, "json"),
+    # --- batch-16 selective remat (VERDICT r4 weak #5): full per-block remat
+    # anchor vs the conv-save policy (save conv outputs, recompute the rest)
+    ("train_b16_full", ["tools/bench_train.py"],
+     {"TB_BATCH": "16", "TB_REMAT": "full"}, 2700, "json"),
+    ("train_b16_convsave", ["tools/bench_train.py"],
+     {"TB_BATCH": "16", "TB_REMAT": "conv-save"}, 2700, "json"),
+    # --- BASELINE config #2 samplers, hardware-benched once (VERDICT r4 #8)
+    ("headline_ddpm", ["bench.py"], {"BENCH_SAMPLER": "ddpm"}, 2700, "json"),
+    ("headline_dpmpp", ["bench.py"], {"BENCH_SAMPLER": "dpmpp"}, 2700, "json"),
+    ("headline_dpmpp25", ["bench.py"],
+     {"BENCH_SAMPLER": "dpmpp", "BENCH_STEPS": "25"}, 2700, "json"),
+    # --- TPU serving loadtest (VERDICT r4 weak #6): SD-1.5 stack on the chip.
+    # max_batch 4 bounds the pow-2 bucket compile set {1,2,4}; each distinct
+    # signature is a ~3-8 min remote compile, hence the generous timeout.
+    ("serve_sd15", ["tools/serve_loadtest.py"],
+     {"LT_PRESET": "sd15", "LT_PLATFORM": "axon", "LT_STEPS": "50",
+      "LT_SIZE": "512", "LT_REQUESTS": "12", "LT_CLIENTS": "4",
+      "LT_MAX_BATCH": "4"}, 7200, "json"),
 ]
 
 _PROFILE_RE = re.compile(r"SD_TRAIN_PROFILE phase breakdown \(ms\): (.*)")
@@ -148,6 +149,25 @@ def _append(rec: dict) -> None:
     print(json.dumps(rec), flush=True)
 
 
+def _resolve_env(env_up: dict, done: dict):
+    """Resolve "@best:<phase>:<key>" values from completed phase records.
+
+    Returns (resolved_env, missing_phase_or_None). A missing/failed source
+    phase defers the dependent phase (it is retried on the next launch)."""
+    out = {}
+    for k, v in env_up.items():
+        if isinstance(v, str) and v.startswith("@best:"):
+            _, phase, key = v.split(":", 2)
+            rec = done.get(phase)
+            best = (rec or {}).get("result", {}).get("best") or {}
+            if key not in best:
+                return None, phase
+            out[k] = str(best[key])
+        else:
+            out[k] = v
+    return out, None
+
+
 def _run_phase(name, argv, env_up, timeout_s, parser) -> dict:
     env = dict(os.environ)
     env.update(env_up)
@@ -171,10 +191,9 @@ def _run_phase(name, argv, env_up, timeout_s, parser) -> dict:
         return {"phase": name, "ok": False, "rc": p.returncode,
                 "error": " | ".join(tail)[-500:],
                 "wall_s": round(time.time() - t0, 1)}
-    if name.startswith("autotune") and result.get("best") is None:
-        # autotune exits 0 even when every sweep point failed (e.g. the
-        # tunnel dropped mid-session); recording ok would skip the ladder
-        # forever on resume
+    if "sweep" in name and result.get("best") is None:
+        # a sweep that produced zero valid points must not be recorded ok
+        # (resume would then skip it forever)
         return {"phase": name, "ok": False, "error": "no_valid_points",
                 "result": result, "wall_s": round(time.time() - t0, 1)}
     return {"phase": name, "ok": True, "result": result, "env": env_up,
@@ -192,38 +211,47 @@ def _summarize(done: dict) -> dict:
     if heads:
         s["headline_img_per_s"] = heads
         s["headline_vs_baseline"] = val("headline", "vs_baseline")
-        mat = val("headline_concat_mat", "value")
-        if mat:
-            s["concat_free_sampling_speedup"] = round(heads / mat, 4)
-        dc = val("deepcache3", "value")
-        if dc:
-            s["deepcache3_img_per_s"] = dc
+    for p in ("headline_ddpm", "headline_dpmpp", "headline_dpmpp25",
+              "hires1024_bench"):
+        v = val(p, "value")
+        if v:
+            s[f"{p}_img_per_s"] = v
+            mfu = val(p, "mfu_pct")
+            if mfu:
+                s[f"{p}_mfu_pct"] = mfu
     base_ms = val("train_base", "step_ms_p50")
     if base_ms:
         s["train_base_step_ms"] = base_ms
         for k, label in [
-            ("train_concat_mat", "concat_materialized"),
             ("train_chain8", "chain8"),
-            ("train_nu_bf16", "nu_bf16"),
-            ("train_mu_nu_bf16", "mu_nu_bf16"),
-            ("train_8bit", "adam8bit"),
-            ("train_8bit_kernel", "adam8bit_kernel"),
-            ("train_8bit_xla", "adam8bit_xla"),
+            ("train_perf_preset", "perf_preset"),
+            ("train_perf_8bit", "perf_8bit"),
         ]:
             v = val(k, "step_ms_p50")
             if v:
                 s[f"train_{label}_step_ms"] = v
                 s[f"train_{label}_speedup"] = round(base_ms / v, 4)
-    p1 = done.get("refscale_spd1")
-    p8 = done.get("refscale_spd8")
-    if p1 and p8:
-        a = p1["result"].get("step_ms_p50")
-        b = p8["result"].get("step_ms_p50")
-        if a and b:
-            s["refscale_spd1_step_ms"] = a
-            s["refscale_spd8_step_ms"] = b
-            s["refscale_chain_speedup"] = round(a / b, 4)
-            s["refscale_spd8_samples_per_s"] = round(8 * 1000.0 / b, 2)
+    b16_full = val("train_b16_full", "step_ms_p50")
+    b16_sel = val("train_b16_convsave", "step_ms_p50")
+    if b16_full:
+        s["train_b16_full_samples_per_s"] = round(16e3 / b16_full, 2)
+    if b16_sel:
+        s["train_b16_convsave_samples_per_s"] = round(16e3 / b16_sel, 2)
+    for p in ("stream_fwd_sweep", "stream_bwd_sweep", "stream_x768"):
+        rec = done.get(p)
+        if rec:
+            s[f"{p}_best"] = rec["result"].get("best")
+    rec = done.get("serve_sd15")
+    if rec:
+        r = rec["result"]
+        s["serve_batching_speedup"] = r.get("batching_speedup")
+        if isinstance(r.get("batching_on"), dict):
+            s["serve_p50_s"] = r["batching_on"].get("p50_s")
+            s["serve_p95_s"] = r["batching_on"].get("p95_s")
+        if isinstance(r.get("hot_swap_under_load"), dict):
+            s["serve_reload_latency_s"] = r["hot_swap_under_load"].get(
+                "reload_latency_s"
+            )
     return s
 
 
@@ -232,12 +260,19 @@ def main() -> int:
     if done:
         print(f"resuming: {sorted(done)} already recorded in {OUT}",
               file=sys.stderr, flush=True)
+    deferred = []
     for name, argv, env_up, timeout_s, parser in PHASES:
         if name in done:
             continue
-        print(f"=== phase {name}: {' '.join(argv)} {env_up}",
+        env_res, missing = _resolve_env(env_up, done)
+        if missing is not None:
+            print(f"=== phase {name}: deferred (needs {missing} best)",
+                  file=sys.stderr, flush=True)
+            deferred.append(name)
+            continue
+        print(f"=== phase {name}: {' '.join(argv)} {env_res}",
               file=sys.stderr, flush=True)
-        rec = _run_phase(name, argv, env_up, timeout_s, parser)
+        rec = _run_phase(name, argv, env_res, timeout_s, parser)
         _append(rec)
         if rec.get("error") == "tunnel_down":
             print("tunnel down — aborting session (re-run to resume)",
@@ -248,7 +283,7 @@ def main() -> int:
     _append(_summarize(done))
     missing = [p[0] for p in PHASES if p[0] not in done]
     if missing:
-        print(f"INCOMPLETE — failed phases: {missing} (re-run to retry)",
+        print(f"INCOMPLETE — failed/deferred phases: {missing} (re-run to retry)",
               file=sys.stderr)
         return 1
     print("ALL DONE", file=sys.stderr)

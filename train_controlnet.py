@@ -54,7 +54,7 @@ def _main(argv=None):
     model = build_models(
         cfg.model, logger=logger, compat=compat, dtype=dtype, seed=cfg.train.seed,
         init_image_size=cfg.dataset.resolution,
-        remat=cfg.parallel.remat_policy != "none",
+        remat=cfg.parallel.remat_policy,
     )
     # the hint conv stack must bridge pixel -> latent resolution: one stride-2
     # per VAE downsample

@@ -72,7 +72,7 @@ def _main(argv=None):
     model = build_models(
         cfg.model, logger=logger, compat=compat, dtype=dtype, seed=cfg.train.seed,
         init_image_size=cfg.dataset.resolution,
-        remat=cfg.parallel.remat_policy != "none",
+        remat=cfg.parallel.remat_policy,
     )
     te = model.text_encoder
 

@@ -59,7 +59,7 @@ def _main(argv=None):
     model = build_models(
         cfg.model, logger=logger, compat=compat, dtype=dtype, seed=cfg.train.seed,
         init_image_size=cfg.dataset.resolution,
-        remat=cfg.parallel.remat_policy != "none",
+        remat=cfg.parallel.remat_policy,
     )
     train_dataset = get_dataset(
         cfg.dataset, split="train", tokenizer=model.text_encoder.tokenizer, logger=logger
