@@ -58,16 +58,18 @@ def _mode() -> str:
     return os.environ.get("SD_ADAM8BIT_KERNEL", "auto")
 
 
-def use_pallas_for(shape, numel: int) -> bool:
+def use_pallas_for(shape, numel: int, sharded: bool = False) -> bool:
     """Gate: Pallas for large >=2-D leaves unless SD_ADAM8BIT_KERNEL=xla.
 
-    Auto mode additionally requires a single-device process: under pjit
-    with ZeRO/FSDP-sharded moments the Pallas custom call cannot be
-    auto-partitioned by SPMD (it would force a gather of the very state
-    the sharding is meant to split), so multi-device programs keep the XLA
-    lowering, which partitions elementwise. ``SD_ADAM8BIT_KERNEL=pallas``
-    overrides for single-device-per-leaf layouts the caller knows are safe
-    (e.g. fully-replicated state or an outer shard_map).
+    ``sharded=True`` means the caller runs the kernel per-shard inside a
+    ``shard_map`` whose specs match the ZeRO placement (trainers/adam8bit.py)
+    — ``shape``/``numel`` are then the LOCAL shard's, and the size gate
+    applies to the per-device work. Without it, auto mode requires a
+    single-device process: under pjit with ZeRO/FSDP-sharded moments a bare
+    Pallas custom call cannot be auto-partitioned by SPMD (it would force a
+    gather of the very state the sharding is meant to split).
+    ``SD_ADAM8BIT_KERNEL=pallas`` overrides the size gates for layouts the
+    caller knows are safe.
     """
     mode = _mode()
     if mode == "xla":
@@ -76,7 +78,7 @@ def use_pallas_for(shape, numel: int) -> bool:
         return False
     if mode == "pallas":
         return True
-    return numel >= MIN_PALLAS_ELEMS and jax.device_count() == 1
+    return numel >= MIN_PALLAS_ELEMS and (sharded or jax.device_count() == 1)
 
 
 def _row_tile(rows: int, c: int) -> int:

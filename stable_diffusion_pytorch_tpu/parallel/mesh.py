@@ -63,6 +63,29 @@ def batch_shardings(mesh: Mesh, batch) -> object:
     return jax.tree_util.tree_map(lambda _: data_sharded(mesh), batch)
 
 
+def largest_divisible_axis(shape, n: int):
+    """The axis :func:`zero_shardings` shards over ``n`` devices: the largest
+    NON-MINOR axis whose size divides ``n`` evenly, falling back to the minor
+    axis, else ``None``.
+
+    Preferring a leading axis over the (lane) minor axis costs nothing for
+    ZeRO memory (any divisible axis gives the 1/n shard) and keeps the
+    int8-Adam lane-dim quantization blocks (trainers/adam8bit.py) intact
+    within each shard, so the fused Pallas update kernel can run per-shard
+    under shard_map with specs that AGREE with this placement — spec
+    agreement is what makes the shard_map free of resharding collectives.
+    """
+    best_axis, best_size = None, 0
+    for axis, size in enumerate(shape[:-1]):
+        if size > best_size and size % n == 0 and size > 0:
+            best_axis, best_size = axis, size
+    if best_axis is None and len(shape) >= 1:
+        c = shape[-1]
+        if c > 0 and c % n == 0:
+            return len(shape) - 1
+    return best_axis
+
+
 def zero_shardings(mesh: Mesh, pytree) -> object:
     """ZeRO-style shardings for optimizer state: shard each leaf along its
     LARGEST evenly-divisible axis over the data axis, else replicate.
@@ -82,10 +105,7 @@ def zero_shardings(mesh: Mesh, pytree) -> object:
     def leaf_sharding(x):
         if not hasattr(x, "shape") or x.ndim == 0 or n <= 1:
             return NamedSharding(mesh, P())
-        best_axis, best_size = None, 0
-        for axis, size in enumerate(x.shape):
-            if size > best_size and size % n == 0 and size > 0:
-                best_axis, best_size = axis, size
+        best_axis = largest_divisible_axis(x.shape, n)
         if best_axis is None:
             return NamedSharding(mesh, P())
         spec = [None] * x.ndim

@@ -49,6 +49,7 @@ moments VMEM-resident); small/unaligned leaves keep the XLA path below.
 
 from __future__ import annotations
 
+import math
 from typing import NamedTuple
 
 import chex
@@ -119,16 +120,68 @@ class ScaleByAdam8bitState(NamedTuple):
     nu: chex.ArrayTree  # _QTensor per leaf, sqrt domain (codes >= 0)
 
 
+def shard_plan(shape, block_size: int, mesh):
+    """Per-leaf shard_map plan for the fused kernel under ZeRO sharding.
+
+    Returns ``(q_spec, scale_spec, local_shape)`` — PartitionSpecs matching
+    what :func:`parallel.mesh.zero_shardings` chose for this leaf's codes
+    (same ``largest_divisible_axis`` rule, so no resharding of the codes) plus
+    the per-device shard shape — or ``None`` when no block-aligned shard
+    exists (minor-axis shard that would split quantization blocks; the leaf
+    then takes the XLA path, which SPMD-partitions elementwise).
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from stable_diffusion_pytorch_tpu.parallel import mesh as mesh_lib
+
+    if mesh is None or len(mesh.axis_names) != 1:
+        return None  # TP/2-D meshes keep the XLA path (combine_zero layouts)
+    n = mesh.devices.size
+    ndim = len(shape)
+    if n <= 1 or ndim < 2:
+        return None
+    axis_name = mesh.axis_names[0]
+    axis = mesh_lib.largest_divisible_axis(shape, n)
+    if axis is None:
+        return None
+    c = shape[-1]
+    sub_blocked = c % block_size == 0 and c > block_size
+    q_spec = [None] * ndim
+    q_spec[axis] = axis_name
+    if axis == ndim - 1:
+        # minor-dim shard: every absmax block must live whole in one shard
+        if not sub_blocked or (c // n) % block_size != 0:
+            return None
+        s_spec = [None] * (ndim + 1)
+        s_spec[ndim - 1] = axis_name  # the C/block dim of [.., C/block, 1]
+    else:
+        s_spec = [None] * (ndim + 1 if sub_blocked else ndim)
+        s_spec[axis] = axis_name
+    local = list(shape)
+    local[axis] //= n
+    return P(*q_spec), P(*s_spec), tuple(local)
+
+
 def scale_by_adam_8bit(
     b1: float = 0.9,
     b2: float = 0.999,
     eps: float = 1e-8,
     block_size: int = 256,
+    mesh=None,
 ) -> optax.GradientTransformation:
     """Adam moment tracking with int8 block-quantized stored state.
 
     Drop-in replacement for ``optax.scale_by_adam``; compose with
     ``optax.add_decayed_weights`` + learning-rate scaling for AdamW.
+
+    ``mesh``: pass the trainer's 1-D data mesh when the optimizer state is
+    ZeRO-sharded (``--shard-optimizer-state``). Large leaves then run the
+    fused Pallas kernel PER-SHARD inside a ``shard_map`` whose specs agree
+    with :func:`parallel.mesh.zero_shardings` (the codes are consumed where
+    they already live; the update comes back sharded and XLA all-gathers it
+    into the parameter apply — exactly the ZeRO-2 pattern). Without a mesh,
+    multi-device programs keep the XLA lowering for safety (a bare Pallas
+    custom call cannot be SPMD-partitioned).
     """
 
     def init_fn(params):
@@ -151,15 +204,43 @@ def scale_by_adam_8bit(
         bc1 = 1.0 - b1 ** count.astype(jnp.float32)
         bc2 = 1.0 - b2 ** count.astype(jnp.float32)
 
+        def kernel_call(g, mq, ms, nq, ns, c1, c2):
+            return kernels.fused_adam8bit_update(
+                g, mq, ms, nq, ns, c1, c2,
+                b1=b1, b2=b2, eps=eps, block_size=block_size,
+            )
+
         def leaf_update(g, mu_q, nu_q):
-            if kernels.use_pallas_for(g.shape, g.size):
+            plan = shard_plan(g.shape, block_size, mesh)
+            if plan is not None:
+                # ZeRO-sharded leaf: fused kernel per-shard under shard_map.
+                # q_spec matches the zero_shardings placement of the codes
+                # (no code resharding); the grad arrives replicated and is
+                # sliced; the sharded update all-gathers into the param apply.
+                q_spec, s_spec, local_shape = plan
+                local_numel = math.prod(local_shape)
+                if kernels.use_pallas_for(local_shape, local_numel, sharded=True):
+                    try:
+                        from jax.sharding import PartitionSpec as P
+
+                        upd, nmq, nms, nnq, nns = jax.shard_map(
+                            kernel_call,
+                            mesh=mesh,
+                            in_specs=(q_spec, q_spec, s_spec, q_spec, s_spec,
+                                      P(), P()),
+                            out_specs=(q_spec, q_spec, s_spec, q_spec, s_spec),
+                            check_vma=False,
+                        )(g, mu_q.q, mu_q.scale, nu_q.q, nu_q.scale, bc1, bc2)
+                        return upd, _QTensor(nmq, nms), _QTensor(nnq, nns)
+                    except ValueError:
+                        pass  # no aligned row tiling for the shard: XLA below
+            elif kernels.use_pallas_for(g.shape, g.size):
                 # one-pass Pallas dequant->update->requant: the f32 moments
                 # never touch HBM (ops/adam8bit_update.py). Numerics are
                 # identical to the XLA path below (same op order); tested.
                 try:
-                    upd, nmq, nms, nnq, nns = kernels.fused_adam8bit_update(
-                        g, mu_q.q, mu_q.scale, nu_q.q, nu_q.scale, bc1, bc2,
-                        b1=b1, b2=b2, eps=eps, block_size=block_size,
+                    upd, nmq, nms, nnq, nns = kernel_call(
+                        g, mu_q.q, mu_q.scale, nu_q.q, nu_q.scale, bc1, bc2
                     )
                     return upd, _QTensor(nmq, nms), _QTensor(nnq, nns)
                 except ValueError:
@@ -198,10 +279,16 @@ def adamw_8bit(
     eps: float = 1e-8,
     weight_decay: float = 0.0,
     block_size: int = 256,
+    mesh=None,
 ) -> optax.GradientTransformation:
-    """AdamW with 8-bit stored moments (reference use_8bit_adam analog)."""
+    """AdamW with 8-bit stored moments (reference use_8bit_adam analog).
+
+    ``mesh``: the trainer's 1-D data mesh when state is ZeRO-sharded — see
+    :func:`scale_by_adam_8bit`."""
     return optax.chain(
-        scale_by_adam_8bit(b1=b1, b2=b2, eps=eps, block_size=block_size),
+        scale_by_adam_8bit(
+            b1=b1, b2=b2, eps=eps, block_size=block_size, mesh=mesh
+        ),
         optax.add_decayed_weights(weight_decay),
         optax.scale_by_learning_rate(learning_rate),
     )

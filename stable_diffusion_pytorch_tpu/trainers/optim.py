@@ -51,9 +51,14 @@ def build_optimizer(
     optim_cfg,
     max_train_steps: int,
     gradient_accumulation_steps: int = 1,
+    mesh=None,
 ) -> optax.GradientTransformation:
     """clip-by-global-norm -> AdamW(schedule, wd), accumulated over k micro-steps
-    (train_unet.py:208-236, 359)."""
+    (train_unet.py:208-236, 359).
+
+    ``mesh``: pass the trainer's data mesh when the optimizer state is
+    ZeRO-sharded, so the 8-bit optimizer can run its fused Pallas update
+    kernel per-shard via shard_map (trainers/adam8bit.py)."""
     schedule = build_lr_schedule(
         optim_cfg.scheduler_type,
         optim_cfg.learning_rate,
@@ -73,6 +78,7 @@ def build_optimizer(
                 b2=0.999,
                 eps=1e-8,
                 weight_decay=optim_cfg.adam_weight_decay,
+                mesh=mesh,
             ),
         )
         if gradient_accumulation_steps > 1:

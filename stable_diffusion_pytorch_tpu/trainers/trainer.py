@@ -145,6 +145,9 @@ class Trainer:
             cfg.optim,
             max_train_steps=cfg.train.max_train_steps,
             gradient_accumulation_steps=cfg.train.gradient_accumulation_steps,
+            # ZeRO-sharded state: lets the 8-bit optimizer run its fused
+            # Pallas kernel per-shard (shard_map over the same placement)
+            mesh=self.mesh if cfg.parallel.shard_optimizer_state else None,
         )
 
         self._build()  # subclass: models, state, jitted steps

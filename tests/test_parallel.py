@@ -41,7 +41,10 @@ def test_zero_shardings_rules():
     }
     shardings = mesh_lib.zero_shardings(mesh, tree)
     assert shardings["divisible"].spec == P(mesh_lib.DATA_AXIS, None)
-    assert shardings["conv_kernel"].spec == P(None, None, None, mesh_lib.DATA_AXIS)
+    # largest divisible NON-MINOR axis wins (round 5): sharding C_in=16 gives
+    # the same 1/8 memory as the lane axis while keeping int8-Adam lane-dim
+    # quantization blocks whole per shard (parallel/mesh.py docstring)
+    assert shardings["conv_kernel"].spec == P(None, None, mesh_lib.DATA_AXIS, None)
     assert shardings["bias"].spec == P(mesh_lib.DATA_AXIS)
     assert shardings["indivisible"].spec == P()
     assert shardings["scalar"].spec == P()
