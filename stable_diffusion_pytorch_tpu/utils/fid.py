@@ -171,7 +171,13 @@ class RandomInceptionFeatureExtractor:
 
     name = "fid_inception_random"
 
-    def __init__(self, seed: int = 0):
+    def __init__(self, seed: int = 0, feat_dim: int = 0):
+        """feat_dim > 0 keeps only that many pool3 channels (the channels of a
+        random tower are exchangeable, so truncation IS a random projection).
+        2048-dim covariances are badly undersampled at proxy sample counts
+        (n=512) — the estimation bias swamps small real FID gaps; 256 dims at
+        n=512 keeps the estimate conditioned (round-5 sharpening, VERDICT r4
+        weak #4a)."""
         import jax
         import jax.numpy as jnp
 
@@ -203,7 +209,8 @@ class RandomInceptionFeatureExtractor:
                 img, (img.shape[0], 299, 299, 3), method="bilinear",
                 antialias=False,
             )
-            return model.apply(params, img)
+            feats = model.apply(params, img)
+            return feats[:, :feat_dim] if feat_dim else feats
 
         self._fn = jax.jit(_extract)
         self._params = params

@@ -248,6 +248,7 @@ def main() -> dict:
     # latent metric separated the stacks by 15.5), so the vacuous "vae"
     # extractor is opt-in only
     extractor_kind = os.environ.get("FID_EXTRACTOR", "random_inception")
+    extractors = None
     if extractor_kind == "inception":
         from stable_diffusion_pytorch_tpu.utils.fid import (
             FlaxInceptionFeatureExtractor,
@@ -263,8 +264,47 @@ def main() -> dict:
             RandomInceptionFeatureExtractor,
         )
 
-        extractor = RandomInceptionFeatureExtractor()
-        metric_name = "fid_inception_random"
+        # round-5 sharpening (VERDICT r4 weak #4a): an ENSEMBLE of fixed-seed
+        # towers, each FID on a 2048->FID_FEAT_DIM channel truncation (a
+        # random projection — keeps the n=512 covariance estimate
+        # conditioned), averaged at the FID level to cancel tower-specific
+        # bias. FID_TOWERS=1 FID_FEAT_DIM=0 reproduces the round-4 metric.
+        n_towers = int(os.environ.get("FID_TOWERS", "4"))
+        feat_dim = int(os.environ.get("FID_FEAT_DIM", "256"))
+        extractors = [
+            RandomInceptionFeatureExtractor(seed=s, feat_dim=feat_dim)
+            for s in range(n_towers)
+        ]
+        extractor = extractors[0]
+        metric_name = (
+            f"fid_inception_random_x{n_towers}_d{feat_dim or 2048}"
+        )
+
+    _feat_cache: dict = {}
+
+    def _tower_feats(tower_idx: int, images) -> np.ndarray:
+        key = (tower_idx, id(images))
+        if key not in _feat_cache:
+            e = extractors[tower_idx]
+            imgs = list(images)
+            _feat_cache[key] = np.concatenate(
+                [e(np.stack(imgs[i : i + 16])) for i in range(0, len(imgs), 16)]
+            )
+        return _feat_cache[key]
+
+    def img_fid(images_a, images_b) -> float:
+        if not extractors:
+            return fid_between(extractor, images_a, images_b)
+        import math
+
+        from stable_diffusion_pytorch_tpu.utils.fid import fid_from_features
+
+        vals = [
+            fid_from_features(_tower_feats(t, images_a), _tower_feats(t, images_b))
+            for t in range(len(extractors))
+        ]
+        vals = [v for v in vals if math.isfinite(v)]
+        return float(np.mean(vals)) if vals else float("nan")
 
     # latent-space features: the sampler's raw output distribution — the most
     # discriminating view when weights are random (a random VAE decode
@@ -290,9 +330,9 @@ def main() -> dict:
         "metric": metric_name,
         "n_images": n_images,
         "steps": steps,
-        "fid_ref_vs_ref": _finite(fid_between(extractor, ref_images, ref_images_b)),
-        "fid_ref_vs_compat": _finite(fid_between(extractor, ref_images, compat_images)),
-        "fid_ref_vs_default": _finite(fid_between(extractor, ref_images, default_images)),
+        "fid_ref_vs_ref": _finite(img_fid(ref_images, ref_images_b)),
+        "fid_ref_vs_compat": _finite(img_fid(ref_images, compat_images)),
+        "fid_ref_vs_default": _finite(img_fid(ref_images, default_images)),
         "fid_latent_ref_vs_ref": _finite(
             fid_from_features(latent_features(ref_latents), latent_features(ref_latents_b))
         ),
@@ -325,14 +365,14 @@ def main() -> dict:
             fid_from_features(base_lat, latent_features(floor_lat))
         )
         result["fid_exact_vs_exact"] = _finite(
-            fid_between(extractor, base_img, floor_img)
+            img_fid(base_img, floor_img)
         )
         for k, (dc_img, dc_lat) in dc_sets.items():
             result[f"fid_latent_exact_vs_dc{k}"] = _finite(
                 fid_from_features(base_lat, latent_features(dc_lat))
             )
             result[f"fid_exact_vs_dc{k}"] = _finite(
-                fid_between(extractor, base_img, dc_img)
+                img_fid(base_img, dc_img)
             )
             result[f"rmse_latent_exact_vs_dc{k}"] = _finite(
                 pair_rmse(base_lat_raw, dc_lat)
