@@ -113,8 +113,9 @@ _DEFAULT_BLOCK_M = 1024
 def _fa_kernel_stream(
     q_ref, k_ref, v_ref, o_ref, m_scr, l_scr, acc_scr,
     *, kv_len: int, use_exp2: bool, block_m: int, m_blocks: int,
+    u_chunks: int = 1,
 ):
-    """Online-softmax flash attention: grid (B*H, N/bn, M/bm), kv innermost.
+    """Online-softmax flash attention: grid (B*H, N/bn, M/(bm*U)), kv innermost.
 
     The classic two-pass-free flash recurrence (running max m, normalizer l,
     unnormalized accumulator acc in VMEM scratch, which persists across the
@@ -122,11 +123,19 @@ def _fa_kernel_stream(
     kernel). Used when K/V for one batch-head no longer fit VMEM
     (kv > _KV_RESIDENT_MAX tokens, e.g. 1024x1024 sampling's 16384-token
     self-attention); the resident kernel stays the fast path below that.
+
+    ``u_chunks`` > 1 SOFTWARE-PIPELINES the kv chunks inside one grid step:
+    the next chunk's score matmul is issued (program order) BEFORE the current
+    chunk's softmax, so the asynchronous MXU drains the independent s_{u+1}
+    while the VPU runs softmax_u. Round-4/5 sweeps measured the serialized
+    kernel at 43.8 ms for [4,16384,8,40] — almost exactly MXU-roofline
+    (22.4 ms at the D=40->128 lane padding) PLUS the ~20 ms VPU softmax,
+    i.e. zero overlap; per-chunk staggering targets max(MXU, VPU) instead of
+    their sum. Block-size sweeps were flat (±0.2%), confirming the bound is
+    the serialization, not tiling.
     """
     j = pl.program_id(2)
     q = q_ref[0]  # [BN, Dp] (scale — and log2e — pre-folded)
-    k = k_ref[0]  # [BM, Dp]
-    v = v_ref[0]
 
     @pl.when(j == 0)
     def _init():
@@ -134,28 +143,46 @@ def _fa_kernel_stream(
         l_scr[...] = jnp.zeros_like(l_scr)
         acc_scr[...] = jnp.zeros_like(acc_scr)
 
-    s = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [BN, BM]
-    if kv_len < block_m * m_blocks:  # mask zero-padded kv rows
-        col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_m
-        s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
+    total_m = block_m * m_blocks * u_chunks
 
-    m_prev = m_scr[...][:, 0:1]
-    l_prev = l_scr[...][:, 0:1]
-    m_new = jnp.maximum(m_prev, jnp.max(s, axis=-1, keepdims=True))
-    if use_exp2:
-        alpha = jnp.exp2(m_prev - m_new)
-        p = jnp.exp2(s - m_new)
-    else:
-        alpha = jnp.exp(m_prev - m_new)
-        p = jnp.exp(s - m_new)
-    l_new = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
-    acc_scr[...] = alpha * acc_scr[...] + jnp.dot(
-        p.astype(v.dtype), v, preferred_element_type=jnp.float32
-    )
-    m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
-    l_scr[...] = jnp.broadcast_to(l_new, l_scr.shape)
+    def score(u: int) -> jnp.ndarray:
+        k = k_ref[0, u * block_m : (u + 1) * block_m, :]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )  # [BN, BM]
+        if kv_len < total_m:  # mask zero-padded kv rows
+            col = (
+                jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                + (j * u_chunks + u) * block_m
+            )
+            s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
+        return s
+
+    m_run = m_scr[...][:, 0:1]
+    l_run = l_scr[...][:, 0:1]
+    acc = acc_scr[...]
+    s_cur = score(0)
+    for u in range(u_chunks):
+        # issue the NEXT chunk's matmul before this chunk's softmax: the MXU
+        # op is independent of the VPU chain below and overlaps it
+        s_nxt = score(u + 1) if u + 1 < u_chunks else None
+        m_new = jnp.maximum(m_run, jnp.max(s_cur, axis=-1, keepdims=True))
+        if use_exp2:
+            alpha = jnp.exp2(m_run - m_new)
+            p = jnp.exp2(s_cur - m_new)
+        else:
+            alpha = jnp.exp(m_run - m_new)
+            p = jnp.exp(s_cur - m_new)
+        l_run = alpha * l_run + jnp.sum(p, axis=-1, keepdims=True)
+        v_u = v_ref[0, u * block_m : (u + 1) * block_m, :]
+        acc = alpha * acc + jnp.dot(
+            p.astype(v_u.dtype), v_u, preferred_element_type=jnp.float32
+        )
+        m_run = m_new
+        s_cur = s_nxt
+    acc_scr[...] = acc
+    m_scr[...] = jnp.broadcast_to(m_run, m_scr.shape)
+    l_scr[...] = jnp.broadcast_to(l_run, l_scr.shape)
 
     @pl.when(j == m_blocks - 1)
     def _emit():
@@ -163,22 +190,25 @@ def _fa_kernel_stream(
 
 
 def _fit_block_n_stream(
-    block_n: int, block_m: int, d_pad: int, itemsize: int
+    block_n: int, block_m: int, d_pad: int, itemsize: int, u_chunks: int = 1
 ) -> int:
     """Shrink the streaming q-block until the per-tile working set fits VMEM.
 
-    Counts the kv double buffers, q/out double buffers, ONE f32 score tile
-    (p reuses s's buffer, same accounting as the resident path), the f32
+    Counts the kv double buffers (x u_chunks per grid step), q/out double
+    buffers, the live f32 score tiles (ONE when serialized — p reuses s's
+    buffer, same accounting as the resident path — TWO when
+    software-pipelined: s_{u+1} is issued while s_u's softmax runs), the f32
     accumulator scratch and the m/l running-stat scratches. Replaces the
     fixed 512 cap round 4 shipped (HW_SESSION_r04 never swept above it —
     VERDICT r4 weak #1): block_n 1024 at block_m 1024 fits comfortably
     (~7.5 MB) and is now reachable by the autotune sweep.
     """
+    score_tiles = 2 if u_chunks > 1 else 1
     while block_n > 16:
         tile = (
-            4 * block_m * d_pad * itemsize  # k+v double-buffered
+            4 * u_chunks * block_m * d_pad * itemsize  # k+v double-buffered
             + 4 * block_n * d_pad * itemsize  # q + out double-buffered
-            + block_n * block_m * 4  # f32 score tile (p aliases s)
+            + score_tiles * block_n * block_m * 4  # f32 score tile(s)
             + block_n * d_pad * 4  # f32 accumulator scratch
             + 2 * block_n * LANE * 4  # m/l running stats
         )
@@ -232,10 +262,12 @@ def _flash_fwd_impl(
         block_m = min(
             int(os.environ.get("SD_FLASH_BLOCK_M", _DEFAULT_BLOCK_M)), m_pad
         )
-        m_pad = _round_up(m, block_m)
+        u_chunks = max(1, int(os.environ.get("SD_FLASH_INTERLEAVE", "1")))
+        u_chunks = min(u_chunks, max(1, m_pad // block_m))
+        m_pad = _round_up(m, block_m * u_chunks)
         block_n = min(block_n, _round_up(n, 16))
         block_n = _fit_block_n_stream(
-            block_n, block_m, d_pad, jnp.dtype(dtype).itemsize
+            block_n, block_m, d_pad, jnp.dtype(dtype).itemsize, u_chunks
         )
     else:
         block_n = min(block_n, _round_up(n, 16))
@@ -256,17 +288,18 @@ def _flash_fwd_impl(
     vb = to_bhnd(v, m, m_pad)
 
     if streaming:
-        m_blocks = m_pad // block_m
+        m_blocks = m_pad // (block_m * u_chunks)
+        kv_block = block_m * u_chunks
         out = pl.pallas_call(
             functools.partial(
                 _fa_kernel_stream, kv_len=m, use_exp2=use_exp2,
-                block_m=block_m, m_blocks=m_blocks,
+                block_m=block_m, m_blocks=m_blocks, u_chunks=u_chunks,
             ),
             grid=(b * h, n_pad // block_n, m_blocks),
             in_specs=[
                 pl.BlockSpec((1, block_n, d_pad), lambda bh, i, j: (bh, i, 0)),
-                pl.BlockSpec((1, block_m, d_pad), lambda bh, i, j: (bh, j, 0)),
-                pl.BlockSpec((1, block_m, d_pad), lambda bh, i, j: (bh, j, 0)),
+                pl.BlockSpec((1, kv_block, d_pad), lambda bh, i, j: (bh, j, 0)),
+                pl.BlockSpec((1, kv_block, d_pad), lambda bh, i, j: (bh, j, 0)),
             ],
             out_specs=pl.BlockSpec(
                 (1, block_n, d_pad), lambda bh, i, j: (bh, i, 0)

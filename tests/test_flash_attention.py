@@ -243,3 +243,30 @@ def test_streaming_matches_resident_bf16(monkeypatch):
         np.asarray(streaming, np.float32), np.asarray(resident, np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+@pytest.mark.parametrize(
+    "n,m,h,d,u",
+    [
+        (384, 512, 2, 40, 2),   # 4 chunks of 128 -> 2 grid steps of 2
+        (256, 512, 1, 64, 4),   # all chunks in ONE grid step (m_blocks=1)
+        (256, 300, 1, 64, 2),   # kv padding inside the pipelined chunks
+        (128, 77, 2, 64, 4),    # u clamped: fewer chunks than requested
+    ],
+)
+def test_streaming_interleaved_matches_xla(n, m, h, d, u, monkeypatch):
+    """SD_FLASH_INTERLEAVE software-pipelines kv chunks (next score matmul
+    issued before the current softmax); the recurrence must stay exact."""
+    monkeypatch.setenv("SD_FLASH_KV_RESIDENT_MAX", "64")  # force streaming
+    monkeypatch.setenv("SD_FLASH_BLOCK_M", "128")
+    monkeypatch.setenv("SD_FLASH_INTERLEAVE", str(u))
+    ks = jax.random.split(KEY, 3)
+    q = rand((2, n, h, d), ks[0])
+    k = rand((2, m, h, d), ks[1])
+    v = rand((2, m, h, d), ks[2])
+    scale = 1.0 / np.sqrt(d)
+    ours = flash_attention(q, k, v, scale, interpret=True)
+    ref = xla_attention(q, k, v, scale)
+    np.testing.assert_allclose(
+        np.asarray(ours), np.asarray(ref), rtol=2e-5, atol=2e-5
+    )

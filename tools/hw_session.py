@@ -34,6 +34,14 @@ Round-5 queue (VERDICT r4 "next round" items; r04 record: HW_SESSION_r04.jsonl):
   headline_dpmpp25          the "dpmpp at 20-25 steps" speed point
   serve_sd15                TPU serving loadtest (batching ratio, p50/p95,
                             hot-swap latency with a warm jit cache)
+  ilv16384/4096/9216        software-pipelined streaming kernel A/B at each
+                            resolution's token count (SD_FLASH_INTERLEAVE:
+                            overlap the next chunk's MXU score matmul with
+                            the current chunk's VPU softmax — the serialized
+                            kernel measured as their SUM, flat in blocks)
+  hires1024_ilv             end-to-end 1024px bench at the ilv16384 best
+  headline_ilv              512px headline with interleaved streaming forced
+                            below the resident cutoff (vs resident default)
 
 Env values of the form "@best:<phase>:<key>" resolve at launch time from the
 named completed phase's result.best record — sweep phases feed confirm phases
@@ -98,6 +106,31 @@ PHASES = [
      {"LT_PRESET": "sd15", "LT_PLATFORM": "axon", "LT_STEPS": "50",
       "LT_SIZE": "512", "LT_REQUESTS": "12", "LT_CLIENTS": "4",
       "LT_MAX_BATCH": "4"}, 7200, "json"),
+    # --- round-5 follow-on: software-pipelined streaming kernel
+    # (SD_FLASH_INTERLEAVE). The first three sweeps measured the serialized
+    # kernel at its MXU-roofline + VPU-softmax SUM with flat block curves;
+    # these A/B the interleaved kernel at each resolution's token count,
+    # then re-bench end-to-end at the winning settings.
+    ("ilv16384", ["tools/stream_attn_sweep.py"],
+     {"SAS_MODE": "ilv"}, 9000, "json"),
+    ("ilv4096", ["tools/stream_attn_sweep.py"],
+     {"SAS_MODE": "ilv", "SAS_N": "4096", "SAS_B": "8",
+      "SAS_POINTS": "resident,2:512:512,4:512:512,4:512:1024,8:512:512"},
+     9000, "json"),
+    ("ilv9216", ["tools/stream_attn_sweep.py"],
+     {"SAS_MODE": "ilv", "SAS_N": "9216", "SAS_B": "8",
+      "SAS_POINTS": "resident,3:512:768,4:512:512,9:256:1024"},
+     9000, "json"),
+    ("hires1024_ilv", ["bench.py"],
+     {"BENCH_RES": "1024", "BENCH_BATCH": "2",
+      "SD_FLASH_INTERLEAVE": "@best:ilv16384:ilv_u",
+      "SD_FLASH_BLOCK_N": "@best:ilv16384:ilv_bn",
+      "SD_FLASH_BLOCK_M": "@best:ilv16384:ilv_bm"}, 2700, "json"),
+    ("headline_ilv", ["bench.py"],
+     {"SD_FLASH_KV_RESIDENT_MAX": "1024",
+      "SD_FLASH_INTERLEAVE": "@best:ilv4096:ilv_u",
+      "SD_FLASH_BLOCK_N": "@best:ilv4096:ilv_bn",
+      "SD_FLASH_BLOCK_M": "@best:ilv4096:ilv_bm"}, 2700, "json"),
 ]
 
 _PROFILE_RE = re.compile(r"SD_TRAIN_PROFILE phase breakdown \(ms\): (.*)")

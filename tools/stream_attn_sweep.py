@@ -16,6 +16,14 @@ Modes (SAS_MODE):
   x768  9216-token resident-vs-streaming crossover (768px latents sit just
         under the 9216 _KV_RESIDENT_MAX where the resident kernel is
         strained): resident baseline + streaming at several block_m
+  ilv   software-pipelined streaming fwd (SD_FLASH_INTERLEAVE): points are
+        "U:bn:bm" (interleave depth U) or "resident" (the current-default
+        baseline at this token count). SAS_N picks the token count: 16384
+        (1024px), 9216 (768px), 4096 (512px — SAS_B=8 for the batch-4
+        CFG-doubled headline shape). Motivated by the round-5 finding that
+        the serialized streaming kernel's 43.8 ms at 16384 tokens is the SUM
+        of its MXU roofline (~22 ms at D=40->128 padding) and VPU softmax
+        (~20 ms) with flat block curves — the pipeline overlaps them.
 
 Prints ONE JSON line {mode, shape, results: [...], best: {...}}. Per-point
 failures (e.g. a VMEM-overflow compile) are recorded and skipped.
@@ -143,6 +151,24 @@ def main():
             }
 
         run = fwd_chain
+    elif mode == "ilv":
+        points = os.environ.get(
+            "SAS_POINTS",
+            "1:512:1024,2:512:1024,2:1024:512,4:512:512,4:256:1024,8:256:512",
+        ).split(",")
+
+        def env_for_ilv(p):
+            if p == "resident":
+                return {}  # whatever the dispatch default does at this N
+            u, bn, bm = p.split(":")
+            return {
+                "SD_FLASH_KV_RESIDENT_MAX": "1024",  # force streaming
+                "SD_FLASH_INTERLEAVE": u,
+                "SD_FLASH_BLOCK_N": bn,
+                "SD_FLASH_BLOCK_M": bm,
+            }
+
+        run = fwd_chain
     else:
         raise SystemExit(f"unknown SAS_MODE {mode!r}")
 
@@ -150,10 +176,14 @@ def main():
     saved = {kk: os.environ.get(kk) for kk in (
         "SD_FLASH_BLOCK_N", "SD_FLASH_BLOCK_M", "SD_FLASH_KV_RESIDENT_MAX",
         "SD_FLASH_SBWD_BLOCK_N", "SD_FLASH_SBWD_BLOCK_M",
+        "SD_FLASH_INTERLEAVE",
     )}
     for p in points:
         if mode == "x768":
             env = env_for_x(p)
+            label = {"point": p}
+        elif mode == "ilv":
+            env = env_for_ilv(p)
             label = {"point": p}
         else:
             bn, _, bm = p.partition(":")
@@ -176,6 +206,15 @@ def main():
 
     valid = [r for r in results if "ms_per_call" in r]
     best = min(valid, key=lambda r: r["ms_per_call"]) if valid else None
+    if best is not None and mode == "ilv":
+        # split "U:bn:bm" into @best-resolvable keys for confirm phases;
+        # "resident" maps to the serialized-streaming defaults (u=1)
+        best = dict(best)
+        if best["point"] == "resident":
+            best.update(ilv_u=1, ilv_bn=512, ilv_bm=1024)
+        else:
+            u, bn, bm = best["point"].split(":")
+            best.update(ilv_u=int(u), ilv_bn=int(bn), ilv_bm=int(bm))
     print(json.dumps({
         "mode": mode, "shape": [b, n, h, d], "chain": chain,
         "results": results, "best": best,
