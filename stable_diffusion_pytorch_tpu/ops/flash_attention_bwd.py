@@ -25,10 +25,18 @@ from stable_diffusion_pytorch_tpu.ops.flash_attention import LANE, _round_up
 
 
 def _recompute_p_ds(q, k, v, do, scale, kv_len):
-    """Shared per-tile algebra: returns (p, ds) in f32. q/do: [Tn, D]; k/v: [M, D]."""
+    """Shared per-tile algebra: returns (p, ds) in f32. q/do: [Tn, D]; k/v: [M, D].
+
+    dp = do V^T is issued (program order) BEFORE the softmax: it depends only
+    on do/v, so the asynchronous MXU computes it while the VPU runs the
+    [Tn, M] max/exp/normalize passes (the round-5 serialization finding —
+    in-order dispatch otherwise stalls the second matmul behind the VPU)."""
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Tn, M]
     m_pad = k.shape[0]
     if kv_len < m_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
@@ -36,9 +44,6 @@ def _recompute_p_ds(q, k, v, do, scale, kv_len):
     m = jnp.max(s, axis=-1, keepdims=True)
     e = jnp.exp(s - m)
     p = e / jnp.sum(e, axis=-1, keepdims=True)  # [Tn, M]
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [Tn, M]
     ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
     return p, ds
 
@@ -126,9 +131,17 @@ def _fused_bwd_kernel(
     q = q_ref[0]  # pre-scaled by scale * log2(e)
     do = do_ref[0]
 
+    # MXU/VPU overlap (round-5 serialization finding): dp = do V^T depends
+    # only on do/v, so it is issued straight after s — the MXU drains it
+    # while the VPU runs the [Tn, M] softmax; the dv accumulate (needs only
+    # e/linv) is likewise issued BEFORE the big dpp/t VPU passes so it
+    # overlaps them.
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # [Tn, M]
     m_pad = k.shape[0]
     if kv_len < m_pad:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, dimension=1)
@@ -139,9 +152,15 @@ def _fused_bwd_kernel(
     if bf16_temps:
         e = e.astype(jnp.bfloat16)
 
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # [Tn, M]
+    do_over_l = (do.astype(jnp.float32) * linv).astype(v.dtype)
+    q_over_l = (q.astype(jnp.float32) * linv).astype(q.dtype)
+    # dv += p^T do = e^T (do / l)
+    dv_acc[...] += jax.lax.dot_general(
+        e.astype(v.dtype), do_over_l,
+        (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
     dpp = jnp.sum(dp * e, axis=-1, keepdims=True) * linv  # rowsum(dp * p)
     t = e * (dp - dpp)  # = ds * l  (the 1/l is folded into the small operands)
 
@@ -151,14 +170,6 @@ def _fused_bwd_kernel(
     ) * (scale * linv)
     dq_ref[0] = dq.astype(dq_ref.dtype)
 
-    do_over_l = (do.astype(jnp.float32) * linv).astype(v.dtype)
-    q_over_l = (q.astype(jnp.float32) * linv).astype(q.dtype)
-    # dv += p^T do = e^T (do / l)
-    dv_acc[...] += jax.lax.dot_general(
-        e.astype(v.dtype), do_over_l,
-        (((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )
     # dk += scale * ds^T q_orig = t^T (q_scaled / l) / log2(e)
     dk_acc[...] += jax.lax.dot_general(
         t16, q_over_l, (((0,), (0,)), ((), ())),
@@ -357,8 +368,13 @@ def _sbwd_stats_kernel(
         l_scr[...] = jnp.zeros_like(l_scr)
         d_scr[...] = jnp.zeros_like(d_scr)
 
+    # dp issued right after s (independent of it): MXU drains it while the
+    # VPU runs the online-softmax recurrence (round-5 serialization finding)
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if kv_len < block_m * m_blocks:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_m
@@ -374,9 +390,6 @@ def _sbwd_stats_kernel(
     else:
         alpha = jnp.exp(m_prev - m_new)
         e = jnp.exp(s - m_new)
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
     l_new = alpha * l_prev + jnp.sum(e, axis=-1, keepdims=True)
     d_new = alpha * d_prev + jnp.sum(e * dp, axis=-1, keepdims=True)
     m_scr[...] = jnp.broadcast_to(m_new, m_scr.shape)
@@ -404,17 +417,18 @@ def _sbwd_dq_kernel(
     def _():
         dq_scr[...] = jnp.zeros_like(dq_scr)
 
+    # dp issued right after s (independent): overlaps the VPU exp pass
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if kv_len < block_m * m_blocks:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + j * block_m
         s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
     lse = lse_ref[0][:, 0:1]
     p = jnp.exp2(s - lse) if use_exp2 else jnp.exp(s - lse)  # normalized
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
     t = p * (dp - delta_ref[0][:, 0:1])
     dq_scr[...] += jax.lax.dot_general(
         t.astype(k.dtype), k, (((1,), (0,)), ((), ())),
@@ -443,9 +457,14 @@ def _sbwd_dkv_kernel(
         dk_scr[...] = jnp.zeros_like(dk_scr)
         dv_scr[...] = jnp.zeros_like(dv_scr)
 
+    # dp issued right after s (independent): the VPU exp pass overlaps it,
+    # and the dv accumulate (MXU) overlaps the t algebra (VPU) below
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # [BN, BM]
+    dp = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
     if kv_len < block_m * m_blocks:
         col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1) + jm * block_m
         s = jnp.where(col < kv_len, s, jnp.float32(-1e30))
@@ -454,9 +473,6 @@ def _sbwd_dkv_kernel(
     dv_scr[...] += jax.lax.dot_general(
         p.astype(v.dtype), do, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )
-    dp = jax.lax.dot_general(
-        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     t = p * (dp - delta_ref[0][:, 0:1])
     dk_scr[...] += jax.lax.dot_general(

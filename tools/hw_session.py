@@ -121,16 +121,29 @@ PHASES = [
      {"SAS_MODE": "ilv", "SAS_N": "9216", "SAS_B": "8",
       "SAS_POINTS": "resident,3:512:768,4:512:512,9:256:1024"},
      9000, "json"),
+    # NOTE: only the STREAMING-specific knobs are forced here.
+    # hires1024_bench measured 0.0936 img/s at the fwd sweep's "best"
+    # SD_FLASH_BLOCK_N=2048 vs 0.115 at the baked table — a forced global
+    # q-block pollutes the program's OTHER attention calls (4096/1024-token
+    # levels), and the 16384-token call was flat in bn anyway. INTERLEAVE
+    # and BLOCK_M only affect the streaming kernel, so they force cleanly;
+    # bn comes from the autotune table.
     ("hires1024_ilv", ["bench.py"],
      {"BENCH_RES": "1024", "BENCH_BATCH": "2",
       "SD_FLASH_INTERLEAVE": "@best:ilv16384:ilv_u",
-      "SD_FLASH_BLOCK_N": "@best:ilv16384:ilv_bn",
       "SD_FLASH_BLOCK_M": "@best:ilv16384:ilv_bm"}, 2700, "json"),
     ("headline_ilv", ["bench.py"],
      {"SD_FLASH_KV_RESIDENT_MAX": "1024",
       "SD_FLASH_INTERLEAVE": "@best:ilv4096:ilv_u",
-      "SD_FLASH_BLOCK_N": "@best:ilv4096:ilv_bn",
       "SD_FLASH_BLOCK_M": "@best:ilv4096:ilv_bm"}, 2700, "json"),
+    # --- round-5 backward MXU/VPU overlap: dp = do V^T (independent of the
+    # score matmul) now issues BEFORE the softmax in every backward kernel,
+    # and the fused kernel's dv accumulate before the dpp/t algebra. A/B
+    # against same-session train_base (310.58 ms ran the old ordering) and
+    # stream_bwd_sweep (228.5 ms/call at 16384 tokens, old ordering).
+    ("train_bwd_overlap", ["tools/bench_train.py"], {}, 2700, "json"),
+    ("stream_bwd_overlap", ["tools/stream_attn_sweep.py"],
+     {"SAS_MODE": "bwd", "SAS_POINTS": "256:1024,256:2048"}, 9000, "json"),
 ]
 
 _PROFILE_RE = re.compile(r"SD_TRAIN_PROFILE phase breakdown \(ms\): (.*)")
