@@ -361,8 +361,14 @@ def _flash_bwd(scale, interpret, res, do):
     q, k, v = res
     import os
 
+    # the BACKWARD crossover is env-overridable separately: flipping the
+    # forward default (e.g. interleaved streaming winning at 4096 tokens)
+    # must not silently reroute training's fused resident backward too
     if _round_up(k.shape[1], LANE) > int(
-        os.environ.get("SD_FLASH_KV_RESIDENT_MAX", _KV_RESIDENT_MAX)
+        os.environ.get(
+            "SD_FLASH_KV_RESIDENT_MAX_BWD",
+            os.environ.get("SD_FLASH_KV_RESIDENT_MAX", _KV_RESIDENT_MAX),
+        )
     ):
         # the resident-KV backward kernels cannot reach these sizes (1024px
         # latents: 16384 kv tokens overflow the VMEM scope); use the
