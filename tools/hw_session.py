@@ -97,15 +97,17 @@ PHASES = [
     # --- BASELINE config #2 samplers, hardware-benched once (VERDICT r4 #8)
     ("headline_ddpm", ["bench.py"], {"BENCH_SAMPLER": "ddpm"}, 2700, "json"),
     ("headline_dpmpp", ["bench.py"], {"BENCH_SAMPLER": "dpmpp"}, 2700, "json"),
-    ("headline_dpmpp25", ["bench.py"],
-     {"BENCH_SAMPLER": "dpmpp", "BENCH_STEPS": "25"}, 2700, "json"),
-    # --- TPU serving loadtest (VERDICT r4 weak #6): SD-1.5 stack on the chip.
-    # max_batch 4 bounds the pow-2 bucket compile set {1,2,4}; each distinct
-    # signature is a ~3-8 min remote compile, hence the generous timeout.
-    ("serve_sd15", ["tools/serve_loadtest.py"],
-     {"LT_PRESET": "sd15", "LT_PLATFORM": "axon", "LT_STEPS": "50",
-      "LT_SIZE": "512", "LT_REQUESTS": "12", "LT_CLIENTS": "4",
-      "LT_MAX_BATCH": "4"}, 7200, "json"),
+    # --- round-5 backward MXU/VPU overlap: dp = do V^T (independent of the
+    # score matmul) now issues BEFORE the softmax in every backward kernel,
+    # and the fused kernel's dv accumulate before the dpp/t algebra. A/B
+    # against same-session train_base (310.58 ms ran the old ordering) and
+    # stream_bwd_sweep (228.5 ms/call at 16384 tokens, old ordering).
+    # Ordered FIRST among the remaining phases: single cheap compiles with a
+    # direct headline-training consequence; the compile-heavy ilv sweeps and
+    # serve_sd15 follow.
+    ("train_bwd_overlap", ["tools/bench_train.py"], {}, 2700, "json"),
+    ("stream_bwd_overlap", ["tools/stream_attn_sweep.py"],
+     {"SAS_MODE": "bwd", "SAS_POINTS": "256:1024,256:2048"}, 9000, "json"),
     # --- round-5 follow-on: software-pipelined streaming kernel
     # (SD_FLASH_INTERLEAVE). The first three sweeps measured the serialized
     # kernel at its MXU-roofline + VPU-softmax SUM with flat block curves;
@@ -136,14 +138,17 @@ PHASES = [
      {"SD_FLASH_KV_RESIDENT_MAX": "1024",
       "SD_FLASH_INTERLEAVE": "@best:ilv4096:ilv_u",
       "SD_FLASH_BLOCK_M": "@best:ilv4096:ilv_bm"}, 2700, "json"),
-    # --- round-5 backward MXU/VPU overlap: dp = do V^T (independent of the
-    # score matmul) now issues BEFORE the softmax in every backward kernel,
-    # and the fused kernel's dv accumulate before the dpp/t algebra. A/B
-    # against same-session train_base (310.58 ms ran the old ordering) and
-    # stream_bwd_sweep (228.5 ms/call at 16384 tokens, old ordering).
-    ("train_bwd_overlap", ["tools/bench_train.py"], {}, 2700, "json"),
-    ("stream_bwd_overlap", ["tools/stream_attn_sweep.py"],
-     {"SAS_MODE": "bwd", "SAS_POINTS": "256:1024,256:2048"}, 9000, "json"),
+    # --- BASELINE config #2 follow-on: the "dpmpp at 20-25 steps" speed point
+    ("headline_dpmpp25", ["bench.py"],
+     {"BENCH_SAMPLER": "dpmpp", "BENCH_STEPS": "25"}, 2700, "json"),
+    # --- TPU serving loadtest (VERDICT r4 weak #6): SD-1.5 stack on the chip.
+    # max_batch 4 bounds the pow-2 bucket compile set {1,2,4}; each distinct
+    # signature is a ~3-8 min remote compile, hence the generous timeout.
+    # Ordered LAST: the most compile-heavy phase, after the kernel A/Bs.
+    ("serve_sd15", ["tools/serve_loadtest.py"],
+     {"LT_PRESET": "sd15", "LT_PLATFORM": "axon", "LT_STEPS": "50",
+      "LT_SIZE": "512", "LT_REQUESTS": "12", "LT_CLIENTS": "4",
+      "LT_MAX_BATCH": "4"}, 7200, "json"),
 ]
 
 _PROFILE_RE = re.compile(r"SD_TRAIN_PROFILE phase breakdown \(ms\): (.*)")
