@@ -141,6 +141,13 @@ PHASES = [
     # --- BASELINE config #2 follow-on: the "dpmpp at 20-25 steps" speed point
     ("headline_dpmpp25", ["bench.py"],
      {"BENCH_SAMPLER": "dpmpp", "BENCH_STEPS": "25"}, 2700, "json"),
+    # Clean re-run of the SD-scale backward-overlap A/B: the first
+    # train_bwd_overlap (315.7 ms vs 310.6 base) ran while a CPU-side FID
+    # harness contended for the single host core, which pollutes unchained
+    # per-step dispatch. The chained 16384-token A/B showed a real 1.076x
+    # (228.5 -> 212.4 ms/call), so the SD-scale number deserves an
+    # uncontended measurement.
+    ("train_bwd_clean", ["tools/bench_train.py"], {}, 2700, "json"),
     # --- TPU serving loadtest (VERDICT r4 weak #6): SD-1.5 stack on the chip.
     # max_batch 4 bounds the pow-2 bucket compile set {1,2,4}; each distinct
     # signature is a ~3-8 min remote compile, hence the generous timeout.
