@@ -295,10 +295,23 @@ def _summarize(done: dict) -> dict:
         s["train_b16_full_samples_per_s"] = round(16e3 / b16_full, 2)
     if b16_sel:
         s["train_b16_convsave_samples_per_s"] = round(16e3 / b16_sel, 2)
-    for p in ("stream_fwd_sweep", "stream_bwd_sweep", "stream_x768"):
+    for p in ("stream_fwd_sweep", "stream_bwd_sweep", "stream_x768",
+              "stream_bwd_overlap", "ilv16384", "ilv4096", "ilv9216"):
         rec = done.get(p)
         if rec:
             s[f"{p}_best"] = rec["result"].get("best")
+    for p, label in (("train_bwd_overlap", "train_bwd_overlap"),
+                     ("train_bwd_clean", "train_bwd_clean")):
+        v = val(p, "step_ms_p50")
+        if v:
+            s[f"{label}_step_ms"] = v
+    for p in ("hires1024_ilv", "headline_ilv"):
+        v = val(p, "value")
+        if v:
+            s[f"{p}_img_per_s"] = v
+            mfu = val(p, "mfu_pct")
+            if mfu:
+                s[f"{p}_mfu_pct"] = mfu
     rec = done.get("serve_sd15")
     if rec:
         r = rec["result"]
